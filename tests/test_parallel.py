@@ -1,0 +1,99 @@
+"""Distributed tests on the 8-device virtual CPU mesh (SURVEY.md §4 (4)):
+same graph on 1 vs N devices must agree."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from jax.sharding import Mesh
+
+from graphneuralnetwork_tpu.core.graph import build_graph, gcn_graph
+from graphneuralnetwork_tpu.data import load_cora
+from graphneuralnetwork_tpu.nn import GCN
+from graphneuralnetwork_tpu.ops import spmm
+from graphneuralnetwork_tpu.parallel import partition_graph, shard_nodes
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return Mesh(np.array(jax.devices()), ("data",))
+
+
+def test_sharded_spmm_matches_single(mesh, rng):
+    n, e, f = 500, 3000, 32
+    s = rng.integers(0, n, e)
+    r = rng.integers(0, n, e)
+    w = rng.random(e).astype(np.float32)
+    x = rng.normal(size=(n, f)).astype(np.float32)
+
+    g1 = build_graph(s, r, n, w)
+    out1 = spmm(g1, jnp.asarray(x))
+
+    sg = partition_graph(s, r, n, w, mesh=mesh)
+    xs = shard_nodes(x, sg)
+    out2 = spmm(sg, xs)
+    np.testing.assert_allclose(
+        np.asarray(out2)[:n], np.asarray(out1), atol=1e-4)
+
+
+def test_sharded_spmm_grad_matches_single(mesh, rng):
+    n, e, f = 300, 2000, 16
+    s = rng.integers(0, n, e)
+    r = rng.integers(0, n, e)
+    x = rng.normal(size=(n, f)).astype(np.float32)
+
+    g1 = build_graph(s, r, n)
+    sg = partition_graph(s, r, n, mesh=mesh)
+    xs = shard_nodes(x, sg)
+
+    g_single = jax.grad(
+        lambda xx: jnp.sum(jnp.tanh(spmm(g1, xx))))(jnp.asarray(x))
+    g_shard = jax.grad(
+        lambda xx: jnp.sum(jnp.tanh(spmm(sg, xx))[: n]))(xs)
+    np.testing.assert_allclose(
+        np.asarray(g_shard)[:n], np.asarray(g_single), atol=1e-4)
+
+
+def test_sharded_gcn_training_step(mesh):
+    """Full jitted GCN train step over the mesh: same model code, sharded
+    graph; loss must match the single-device step."""
+    data = load_cora(seed=0)
+    n = data.features.shape[0]
+
+    # single-device reference
+    model = GCN(hidden=16, num_classes=data.num_classes, dropout=0.0)
+    params = model.init(jax.random.PRNGKey(0), data.graph,
+                        data.features)["params"]
+
+    # sharded: same normalised weights, partitioned
+    s = np.asarray(data.graph.senders)[: data.graph.n_edges]
+    r = np.asarray(data.graph.receivers)[: data.graph.n_edges]
+    w = np.asarray(data.graph.edge_weight)[: data.graph.n_edges]
+    sg = partition_graph(s, r, n, w, mesh=mesh)
+    xs = shard_nodes(np.asarray(data.features), sg)
+    labels = data.labels
+    idx = data.train_idx
+
+    def loss_fn(params, graph, x):
+        logits = model.apply({"params": params}, graph, x)
+        sel = logits[idx]
+        ls = -jax.nn.log_softmax(sel)[jnp.arange(idx.shape[0]), labels[idx]]
+        return ls.mean()
+
+    l1 = loss_fn(params, data.graph, data.features)
+    l2, grads = jax.jit(jax.value_and_grad(loss_fn))(params, sg, xs)
+    np.testing.assert_allclose(float(l2), float(l1), atol=1e-5)
+
+    # one optimizer step must also run under jit on the mesh
+    tx = optax.adam(1e-2)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, graph, x):
+        loss, grads = jax.value_and_grad(loss_fn)(params, graph, x)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    params2, opt_state, loss = step(params, opt_state, sg, xs)
+    assert np.isfinite(float(loss))
