@@ -11,3 +11,4 @@ from .graph import (  # noqa: F401
     sym_normalize_weights,
     symmetrize,
 )
+from .hetero import BipartiteGraph, HeteroGraph, Vocab  # noqa: F401

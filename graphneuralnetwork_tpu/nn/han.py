@@ -1,0 +1,83 @@
+"""HAN — Heterogeneous Attention Network.
+
+Node-level attention = one GATConv per metapath adjacency; semantic-level
+attention = project→tanh→softmax over metapaths→weighted sum, replicating
+``SemanticAttention`` (HAN/models/SemanticAttention.py:5-20) and
+``HANLayer``/``HANModel`` (HAN/models/HAN.py:7-40). The metapath graphs are
+pre-composed on host (core/hetero.py), e.g. PAP/PLP for ACM
+(HAN/utils/data_utils.py:60,86-89).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..core.graph import Graph
+from .conv import GATConv
+
+
+class SemanticAttention(nn.Module):
+    """β = softmax over metapaths of mean_n(q·tanh(W z + b)); out = Σ β z
+    (HAN/models/SemanticAttention.py:5-20, hidden=128)."""
+
+    hidden: int = 128
+
+    @nn.compact
+    def __call__(self, z: jax.Array) -> jax.Array:
+        # z: [P, N, F] stacked per-metapath embeddings
+        w = nn.Dense(self.hidden, name="proj")(z)          # [P, N, H]
+        q = self.param("q", nn.initializers.glorot_uniform(),
+                       (self.hidden, 1), z.dtype)
+        scores = jnp.tanh(w) @ q                           # [P, N, 1]
+        beta = jax.nn.softmax(scores.mean(axis=1), axis=0)  # [P, 1]
+        return jnp.sum(beta[:, None, :] * z, axis=0)        # [N, F]
+
+
+class HANLayer(nn.Module):
+    """Per-metapath GAT (shared hyperparams) + semantic attention
+    (HAN/models/HAN.py:7-27)."""
+
+    num_metapaths: int
+    features: int
+    num_heads: int = 4
+    dropout: float = 0.6
+    deterministic: bool = True
+
+    @nn.compact
+    def __call__(self, graphs: Sequence[Graph], x: jax.Array) -> jax.Array:
+        assert len(graphs) == self.num_metapaths
+        zs = []
+        for p, g in enumerate(graphs):
+            z = GATConv(self.features, num_heads=self.num_heads,
+                        concat_heads=True, attn_dropout=self.dropout,
+                        deterministic=self.deterministic,
+                        name=f"gat_mp{p}")(g, x)
+            zs.append(nn.elu(z))
+        z = jnp.stack(zs, axis=0)  # [P, N, heads*F]
+        return SemanticAttention(name="semantic")(z)
+
+
+class HAN(nn.Module):
+    """Stacked HANLayers + linear classifier (HAN/models/HAN.py:30-40;
+    defaults heads=[4], hidden=8 per HAN/run.py:9-11)."""
+
+    num_metapaths: int
+    num_classes: int
+    hidden: int = 8
+    num_heads: Sequence[int] = (4,)
+    dropout: float = 0.6
+
+    @nn.compact
+    def __call__(self, graphs: Sequence[Graph], x: jax.Array, *,
+                 deterministic: bool = True) -> jax.Array:
+        h = x
+        for i, heads in enumerate(self.num_heads):
+            h = HANLayer(self.num_metapaths, self.hidden, num_heads=heads,
+                         dropout=self.dropout, deterministic=deterministic,
+                         name=f"layer{i}")(graphs, h)
+            h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        return nn.Dense(self.num_classes, name="classify")(h)

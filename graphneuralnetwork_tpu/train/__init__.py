@@ -16,3 +16,7 @@ from .metrics import (  # noqa: F401
     precision_recall_fbeta,
 )
 from .schedule import warmup_poly_schedule  # noqa: F401
+from .scan_loop import (  # noqa: F401
+    fit_node_classifier_scan,
+    make_scanned_node_classification_run,
+)
