@@ -1,0 +1,194 @@
+"""GATNE end-to-end driver (multiplex heterogeneous link prediction).
+
+Pipeline mirrors GATNE/run.py:58-66: per-type schema walks → window pairs
+tagged with edge type → per-type neighbor tables → GATNE model + sampled-
+negative skip-gram loss → vectorised all-node embedding dump → cosine
+link-pred eval per edge type.
+
+Defaults (GATNE/run.py:15-53): dim=200(amazon 256), edge_dim=16(att 32),
+walks 10×len10, window=5, neg=5, neighbor_samples=10, batch=512 (lr tuned
+down from the reference's SGD 0.4 for Adam).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data.edgelist import MultiplexData, load_multiplex
+from ..nn.embed import GATNE as GATNEModel
+from ..sampling import csr_from_edges, minibatches, uniform_walks
+from ..sampling.skipgram import NegativeSampler, centers_and_contexts
+from ..train.linkpred import link_prediction_metrics
+
+
+@dataclass
+class GATNEConfig:
+    embed_dim: int = 64
+    edge_embed_dim: int = 16
+    attn_dim: int = 32
+    num_walks: int = 10
+    walk_length: int = 10
+    window: int = 5
+    num_negatives: int = 5
+    neighbor_samples: int = 10
+    batch_size: int = 512
+    lr: float = 1e-2
+    epochs: int = 5
+    seed: int = 0
+    inductive: bool = False   # GATNE-I uses node features
+
+
+def build_neighbor_tables(data: MultiplexData, samples: int,
+                          rng: np.random.Generator) -> np.ndarray:
+    """[N, T, S] per-type sampled neighbors with resampling; isolated nodes
+    self-fill (GATNE/utils/data_utils.py:127-146)."""
+    n, T = data.n_nodes, len(data.edge_types)
+    out = np.empty((n, T, samples), np.int32)
+    for t, ty in enumerate(data.edge_types):
+        s, r = data.train_edges[ty]
+        ss = np.concatenate([s, r])
+        rr = np.concatenate([r, s])
+        indptr, indices, _ = csr_from_edges(ss, rr, n)
+        deg = indptr[1:] - indptr[:-1]
+        off = (rng.random((n, samples)) *
+               np.maximum(deg, 1)[:, None]).astype(np.int64)
+        nb = indices[indptr[:-1][:, None] + off]
+        self_rep = np.broadcast_to(
+            np.arange(n, dtype=np.int32)[:, None], nb.shape)
+        out[:, t, :] = np.where(deg[:, None] > 0, nb, self_rep)
+    return out
+
+
+def generate_pairs(data: MultiplexData, cfg: GATNEConfig,
+                   rng: np.random.Generator):
+    """Per-type walks → (center, context, type) triples
+    (GATNE/utils/data_utils.py:89-124)."""
+    centers, contexts, types = [], [], []
+    for t, ty in enumerate(data.edge_types):
+        s, r = data.train_edges[ty]
+        ss = np.concatenate([s, r])
+        rr = np.concatenate([r, s])
+        indptr, indices, _ = csr_from_edges(ss, rr, data.n_nodes)
+        nodes = np.unique(ss)
+        starts = np.tile(nodes, cfg.num_walks)
+        walks = uniform_walks(indptr, indices, starts, cfg.walk_length, rng)
+        c, ctx = centers_and_contexts(walks.astype(np.int64),
+                                      cfg.window, rng)
+        for k in range(ctx.shape[1]):
+            valid = ctx[:, k] >= 0
+            centers.append(c[valid])
+            contexts.append(ctx[valid, k])
+            types.append(np.full(valid.sum(), t, np.int32))
+    return (np.concatenate(centers).astype(np.int32),
+            np.concatenate(contexts).astype(np.int32),
+            np.concatenate(types))
+
+
+def train_gatne(data: Optional[MultiplexData] = None,
+                cfg: Optional[GATNEConfig] = None, verbose: bool = False):
+    cfg = cfg or GATNEConfig()
+    data = data or load_multiplex(seed=cfg.seed)
+    rng = np.random.default_rng(cfg.seed)
+    T = len(data.edge_types)
+
+    neighbors = build_neighbor_tables(data, cfg.neighbor_samples, rng)
+    centers, contexts, types = generate_pairs(data, cfg, rng)
+    freq = np.bincount(
+        np.concatenate([centers, contexts]), minlength=data.n_nodes)
+    neg_sampler = NegativeSampler(np.maximum(freq, 1))
+
+    features = (jnp.asarray(data.features)
+                if cfg.inductive and data.features is not None else None)
+    model = GATNEModel(
+        vocab_size=data.n_nodes, num_edge_types=T,
+        embed_dim=cfg.embed_dim, edge_embed_dim=cfg.edge_embed_dim,
+        attn_dim=cfg.attn_dim, inductive=cfg.inductive,
+        feature_dim=(data.features.shape[1]
+                     if cfg.inductive and data.features is not None
+                     else None))
+    neighbors_j = jnp.asarray(neighbors)
+
+    # context table for the sampled-softmax loss (NSLoss,
+    # GATNE/train_utils/loss_utils.py:7-42): a separate embedding table.
+    ctx_table_key = jax.random.PRNGKey(cfg.seed + 1)
+    ctx_table = jax.random.normal(
+        ctx_table_key, (data.n_nodes, cfg.embed_dim)) * 0.01
+
+    params = model.init(
+        jax.random.PRNGKey(cfg.seed), jnp.zeros((2,), jnp.int32),
+        jnp.zeros((2,), jnp.int32),
+        neighbors_j[:2],
+        features)["params"]
+    all_params = {"model": params, "ctx": ctx_table}
+    tx = optax.adam(cfg.lr)
+    opt_state = tx.init(all_params)
+
+    @jax.jit
+    def step(all_params, opt_state, c, ctx, ty, negs, neigh):
+        def loss_fn(p):
+            emb = model.apply({"params": p["model"]}, c, ty, neigh,
+                              features)                       # [B, D]
+            pos_e = p["ctx"][ctx]                             # [B, D]
+            neg_e = p["ctx"][negs]                            # [B, K, D]
+            pos_logit = jnp.sum(emb * pos_e, axis=-1)
+            neg_logit = jnp.einsum("bd,bkd->bk", emb, neg_e)
+            pos_l = -jax.nn.log_sigmoid(pos_logit)
+            neg_l = -jax.nn.log_sigmoid(-neg_logit).sum(-1)
+            return (pos_l + neg_l).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(all_params)
+        updates, opt_state = tx.update(grads, opt_state, all_params)
+        return optax.apply_updates(all_params, updates), opt_state, loss
+
+    history = []
+    for epoch in range(1, cfg.epochs + 1):
+        tot, nb = 0.0, 0
+        for c, ctx, ty in minibatches(
+                (centers, contexts, types), cfg.batch_size, rng):
+            negs = neg_sampler.draw(
+                (len(c), cfg.num_negatives), rng, exclude=ctx[:, None])
+            all_params, opt_state, loss = step(
+                all_params, opt_state, jnp.asarray(c), jnp.asarray(ctx),
+                jnp.asarray(ty), jnp.asarray(negs.astype(np.int32)),
+                neighbors_j[c])
+            tot += float(loss)
+            nb += 1
+        metrics = evaluate_gatne(model, all_params["model"], data,
+                                 neighbors_j, features, split="valid")
+        history.append((epoch, tot / max(nb, 1), metrics))
+        if verbose:
+            print(f"epoch {epoch}: loss {tot/max(nb,1):.4f} "
+                  f"val {metrics}")
+    test_metrics = evaluate_gatne(model, all_params["model"], data,
+                                  neighbors_j, features, split="test")
+    return all_params, history, test_metrics
+
+
+def evaluate_gatne(model, params, data: MultiplexData, neighbors_j,
+                   features, split: str = "test") -> Dict[str, float]:
+    """Vectorised all-node × all-type embedding dump + per-type cosine
+    link-pred metrics, averaged (replaces the O(N) loop at
+    GATNE/train_utils/train_eval.py:54-68)."""
+    n = data.n_nodes
+    T = len(data.edge_types)
+    nodes = jnp.arange(n, dtype=jnp.int32)
+    per_type = {}
+    fwd = jax.jit(lambda c, ty, nb: model.apply(
+        {"params": params}, c, ty, nb, features))
+    true_d = data.valid_true if split == "valid" else data.test_true
+    false_d = data.valid_false if split == "valid" else data.test_false
+    agg = None
+    for t, ty in enumerate(data.edge_types):
+        emb = np.asarray(
+            fwd(nodes, jnp.full((n,), t, jnp.int32), neighbors_j))
+        m = link_prediction_metrics(emb, true_d[ty], false_d[ty])
+        per_type[ty] = m
+        agg = (m if agg is None else
+               {k: agg[k] + m[k] for k in m})
+    return {k: v / T for k, v in agg.items()}

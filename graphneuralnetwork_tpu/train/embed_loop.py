@@ -1,0 +1,106 @@
+"""Training loops for the embedding family (skip-gram style models).
+
+One masked-BCE trainer covers DeepWalk / Node2vec / Struc2Vec /
+MetaPath2Vec (replacing their copied train_eval loops, e.g.
+DeepWalk/train_eval.py:17-71) plus LINE's combined first+second-order loss
+(LINE/train_eval.py:47-51). Batches are streamed host→device; the step is
+jitted once (static batch shapes from sampling/skipgram.batchify).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .metrics import binary_accuracy, masked_sigmoid_bce
+
+
+def make_skipgram_step(model, tx):
+    @jax.jit
+    def step(params, opt_state, centers, ctx_neg, labels, mask):
+        def loss_fn(p):
+            logits = model.apply({"params": p}, centers, ctx_neg)
+            return masked_sigmoid_bce(logits, labels, mask), logits
+
+        (loss, logits), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        acc = binary_accuracy(logits, labels, mask)
+        return params, opt_state, loss, acc
+
+    return step
+
+
+def make_line_step(model, tx):
+    """LINE loss: BCE(first) + weight·BCE(second), pagerank/per-center
+    weights optional (LINE/train_eval.py:47-51)."""
+
+    @jax.jit
+    def step(params, opt_state, centers, ctx_neg, labels, mask, weights):
+        def loss_fn(p):
+            first, second = model.apply({"params": p}, centers, ctx_neg)
+            l1 = masked_sigmoid_bce(first, labels, mask)
+            # per-center weighting of the 2nd-order term
+            per = masked_sigmoid_bce(second * weights[:, None], labels, mask)
+            return l1 + per, (first, second)
+
+        (loss, _), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    return step
+
+
+def train_skipgram(
+    model, arrays, *,
+    epochs: int, batch_size: int,
+    optimizer: optax.GradientTransformation,
+    rng: Optional[np.random.Generator] = None,
+    seed: int = 0, verbose: bool = False,
+    step_fn_factory: Callable = make_skipgram_step,
+    extra_batch_arrays: tuple = (),
+):
+    """Generic minibatch trainer; ``arrays`` = (centers, ctx_neg, labels,
+    mask) [+ extras]. Returns (params, history)."""
+    from ..sampling.skipgram import minibatches
+
+    rng = rng or np.random.default_rng(seed)
+    centers = arrays[0]
+    params = model.init(
+        jax.random.PRNGKey(seed),
+        jnp.asarray(centers[:batch_size]),
+        jnp.asarray(arrays[1][:batch_size]))["params"]
+    tx = optimizer
+    opt_state = tx.init(params)
+    step = step_fn_factory(model, tx)
+
+    history = []
+    t0 = time.perf_counter()
+    all_arrays = tuple(arrays) + tuple(extra_batch_arrays)
+    for epoch in range(1, epochs + 1):
+        losses, accs, nb = 0.0, 0.0, 0
+        for batch in minibatches(all_arrays, batch_size, rng):
+            out = step(params, opt_state, *map(jnp.asarray, batch))
+            params, opt_state, loss = out[0], out[1], out[2]
+            losses += float(loss)
+            accs += float(out[3]) if len(out) > 3 else 0.0
+            nb += 1
+        history.append((epoch, losses / max(nb, 1), accs / max(nb, 1)))
+        if verbose:
+            print(f"epoch {epoch}: loss {history[-1][1]:.4f} "
+                  f"acc {history[-1][2]:.4f} "
+                  f"({time.perf_counter() - t0:.1f}s)")
+    return params, history
+
+
+def get_embedding(params, table: str = "center") -> np.ndarray:
+    """Extract the learned node embedding table
+    (DeepWalk/train_eval.py:74-87, minus the hardcoded .cuda() bug)."""
+    return np.asarray(params[table])

@@ -1,0 +1,126 @@
+"""End-to-end tests of the embedding model family on synthetic graphs.
+
+Oracle: embeddings of structurally-related nodes score higher than random
+pairs (the reference has no stronger oracle — training-loss-only eval,
+BASELINE.md rows DeepWalk/LINE/SDNE)."""
+
+import numpy as np
+import pytest
+
+from graphneuralnetwork_tpu.data.edgelist import (
+    load_edgelist,
+    synthetic_smallworld,
+)
+from graphneuralnetwork_tpu.models import (
+    BiNEConfig,
+    GATNEConfig,
+    LINEConfig,
+    SDNEConfig,
+    WalkEmbedConfig,
+    run_deepwalk,
+    run_line,
+    run_metapath2vec,
+    run_node2vec,
+    run_sdne,
+    run_struc2vec,
+    train_bine,
+    train_gatne,
+)
+
+SMALL = WalkEmbedConfig(num_walks=10, walk_length=8, epochs=3,
+                        batch_size=128, lr=5e-2, embed_dim=32,
+                        subsample_t=None)
+
+
+def _neighbor_vs_random_score(emb, senders, receivers, rng):
+    """Mean cosine of connected pairs minus random pairs."""
+    def cos(a, b):
+        num = np.sum(a * b, -1)
+        den = np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1)
+        return num / np.maximum(den, 1e-12)
+    n = emb.shape[0]
+    pos = cos(emb[senders], emb[receivers]).mean()
+    ri = rng.integers(0, n, len(senders))
+    rj = rng.integers(0, n, len(senders))
+    neg = cos(emb[ri], emb[rj]).mean()
+    return pos - neg
+
+
+@pytest.fixture(scope="module")
+def small_graph():
+    return synthetic_smallworld(n_nodes=120, seed=0)
+
+
+def test_deepwalk_learns_locality(small_graph):
+    emb, history = run_deepwalk(small_graph, SMALL)
+    assert emb.shape == (120, 32)
+    assert history[-1][1] < history[0][1]  # loss decreases
+    gap = _neighbor_vs_random_score(
+        emb, small_graph.senders, small_graph.receivers,
+        np.random.default_rng(0))
+    assert gap > 0.1, gap
+
+
+def test_node2vec_learns_locality(small_graph):
+    emb, history = run_node2vec(small_graph, SMALL)
+    gap = _neighbor_vs_random_score(
+        emb, small_graph.senders, small_graph.receivers,
+        np.random.default_rng(0))
+    assert gap > 0.1, gap
+
+
+def test_line_loss_decreases(small_graph):
+    emb, history = run_line(small_graph, LINEConfig(
+        epochs=3, batch_size=32, lr=5e-2, embed_dim=32))
+    assert emb.shape == (120, 32)
+    assert history[-1][1] < history[0][1]
+
+
+def test_sdne_reconstructs(small_graph):
+    emb, history = run_sdne(small_graph, SDNEConfig(
+        hidden_dims=(64, 32), epochs=5, batch_size=16, lr=5e-3))
+    assert emb.shape == (120, 32)
+    assert history[-1][1] < history[0][1]
+
+
+def test_struc2vec_runs_small():
+    data = synthetic_smallworld(n_nodes=40, seed=1)
+    cfg = WalkEmbedConfig(num_walks=5, walk_length=6, epochs=2,
+                          batch_size=64, lr=5e-2, embed_dim=16)
+    emb, history = run_struc2vec(data, cfg, k_max=2)
+    assert emb.shape == (40, 16)
+    assert np.isfinite(emb).all()
+
+
+def test_metapath2vec_runs():
+    emb, history = run_metapath2vec(
+        cfg=WalkEmbedConfig(num_walks=5, walk_length=9, epochs=2,
+                            window=4, num_negatives=4,
+                            batch_size=256, lr=5e-2, embed_dim=32))
+    assert emb.shape[1] == 32
+    assert history[-1][1] < history[0][1]
+
+
+def test_gatne_link_prediction_beats_chance():
+    cfg = GATNEConfig(embed_dim=32, edge_embed_dim=8, attn_dim=8,
+                      num_walks=4, walk_length=8, epochs=2,
+                      batch_size=256, lr=1e-2, neighbor_samples=5)
+    params, history, metrics = train_gatne(cfg=cfg)
+    assert metrics["auc"] > 0.6, metrics
+
+
+def test_gatne_inductive_runs():
+    cfg = GATNEConfig(embed_dim=16, edge_embed_dim=4, attn_dim=4,
+                      num_walks=2, walk_length=6, epochs=1,
+                      batch_size=256, lr=1e-2, neighbor_samples=3,
+                      inductive=True)
+    params, history, metrics = train_gatne(cfg=cfg)
+    assert np.isfinite(metrics["auc"])
+
+
+def test_bine_link_prediction():
+    cfg = BiNEConfig(embed_dim=32, epochs=3, batch_size=128, lr=1e-2,
+                     max_t=16)
+    params, history, metrics = train_bine(cfg=cfg)
+    assert history[-1][1] < history[0][1]
+    assert metrics is not None and metrics["auc"] > 0.55, metrics

@@ -1,0 +1,139 @@
+import numpy as np
+import pytest
+
+from graphneuralnetwork_tpu.sampling import (
+    Node2VecWalker,
+    NegativeSampler,
+    batchify,
+    build_alias_table,
+    centers_and_contexts,
+    csr_from_edges,
+    metapath_walks,
+    multihop_sampling,
+    sample_alias,
+    skipgram_dataset,
+    subsample,
+    uniform_walks,
+    weighted_walks,
+)
+
+
+@pytest.fixture
+def ring_graph():
+    """Cycle of 20 nodes (deterministic degrees)."""
+    n = 20
+    s = np.concatenate([np.arange(n), np.arange(n)])
+    r = np.concatenate([(np.arange(n) + 1) % n, (np.arange(n) - 1) % n])
+    return csr_from_edges(s, r, n), n
+
+
+def test_alias_table_distribution():
+    rng = np.random.default_rng(0)
+    probs = np.array([0.1, 0.2, 0.3, 0.4])
+    accept, alias = build_alias_table(probs)
+    draws = sample_alias(accept, alias, rng, 200_000)
+    freq = np.bincount(draws, minlength=4) / 200_000
+    np.testing.assert_allclose(freq, probs, atol=0.01)
+
+
+def test_uniform_walks_follow_edges(ring_graph):
+    (indptr, indices, _), n = ring_graph
+    rng = np.random.default_rng(1)
+    walks = uniform_walks(indptr, indices, np.arange(n), 10, rng)
+    assert walks.shape == (n, 10)
+    # each step moves to an adjacent ring node
+    diff = (walks[:, 1:] - walks[:, :-1]) % n
+    assert np.isin(diff, [1, n - 1]).all()
+
+
+def test_weighted_walks_respect_zero_weight(ring_graph):
+    (indptr, indices, w), n = ring_graph
+    # kill all "backward" edges: only +1 steps remain
+    src = np.repeat(np.arange(n), indptr[1:] - indptr[:-1])
+    w2 = np.where((indices - src) % n == 1, 1.0, 0.0).astype(np.float32)
+    rng = np.random.default_rng(2)
+    walks = weighted_walks(indptr, indices, w2, np.arange(n), 8, rng)
+    diff = (walks[:, 1:] - walks[:, :-1]) % n
+    assert (diff == 1).all()
+
+
+def test_node2vec_extremes_revisit_vs_explore(ring_graph):
+    (indptr, indices, _), n = ring_graph
+    rng = np.random.default_rng(3)
+    # tiny p → return to previous node often
+    w_ret = Node2VecWalker(indptr, indices, p=1e-4, q=1e4)
+    walks = w_ret.walk(np.arange(n), 12, rng)
+    backtracks = (walks[:, 2:] == walks[:, :-2]).mean()
+    assert backtracks > 0.9
+
+
+def test_metapath_walks_alternate_types():
+    from graphneuralnetwork_tpu.core.hetero import HeteroGraph
+    rng = np.random.default_rng(4)
+    nu, ni = 10, 8
+    u = rng.integers(0, nu, 50)
+    i = rng.integers(0, ni, 50)
+    hg = HeteroGraph({"u": nu, "i": ni})
+    hg.add_relation(("u", "ui", "i"), u, i)
+    hg.add_relation(("i", "iu", "u"), i, u)
+    walks = metapath_walks(
+        hg, [("u", "ui", "i"), ("i", "iu", "u")],
+        np.arange(nu), 7, rng)
+    # odd positions are items (< ni), even are users (< nu)
+    assert (walks[:, 0::2] < nu).all()
+    assert (walks[:, 1::2] < ni).all()
+
+
+def test_multihop_sampling_shapes(ring_graph):
+    (indptr, indices, _), n = ring_graph
+    rng = np.random.default_rng(5)
+    hops = multihop_sampling(np.arange(4), [3, 2], indptr, indices, rng)
+    assert [len(h) for h in hops] == [4, 12, 24]
+    # sampled neighbors really are neighbors on the ring
+    src = np.repeat(hops[0], 3)
+    assert np.isin((hops[1] - src) % n, [1, n - 1]).all()
+
+
+def test_subsample_drops_frequent():
+    # keep prob = sqrt(1e-4 / freq): corpus must be large enough that rare
+    # tokens sit below the 1e-4 frequency threshold
+    rng = np.random.default_rng(6)
+    walks = np.concatenate(
+        [np.zeros((3000, 10), np.int64),       # node 0: freq ≈ 1
+         np.arange(1, 11)[None, :]])           # nodes 1..10: freq ≈ 3e-5
+    out = subsample(walks, 11, rng)
+    drop_rate_freq = (out[:3000] == -1).mean()
+    drop_rate_rare = (out[3000:] == -1).mean()
+    assert drop_rate_freq > 0.9
+    assert drop_rate_rare < 0.2
+
+
+def test_centers_and_contexts_window():
+    rng = np.random.default_rng(7)
+    walks = np.arange(6)[None, :].astype(np.int64)
+    centers, contexts = centers_and_contexts(walks, window=2, rng=rng)
+    assert len(centers) == 6
+    for c, ctx in zip(centers, contexts):
+        valid = ctx[ctx >= 0]
+        assert np.abs(valid - c).max() <= 2
+        assert (valid != c).all()
+
+
+def test_negative_sampler_excludes():
+    rng = np.random.default_rng(8)
+    ns = NegativeSampler(np.ones(5))
+    ex = np.full((1000, 1), 2)
+    draws = ns.draw((1000, 1), rng, exclude=ex)
+    assert (draws == 2).mean() < 0.05
+
+
+def test_skipgram_dataset_shapes():
+    rng = np.random.default_rng(9)
+    walks = rng.integers(0, 30, (40, 10))
+    c, cn, lab, mask = skipgram_dataset(
+        walks, 30, window=3, num_negatives=2, rng=rng)
+    assert cn.shape == lab.shape == mask.shape
+    assert c.ndim == 1 and cn.shape[0] == c.shape[0]
+    assert set(np.unique(lab)) <= {0.0, 1.0}
+    # labels only where mask is on
+    assert (lab[mask == 0] == 0).all()
