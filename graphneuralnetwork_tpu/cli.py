@@ -1,0 +1,269 @@
+"""Unified training CLI: ``python train.py --model gcn --dataset cora``.
+
+Replaces the reference's 14 per-model ``run.py`` scripts with one entry
+point. Every model's defaults replicate the cited reference configs
+(BASELINE.md); any config field can be overridden with ``--set key=value``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+
+
+def _apply_overrides(cfg, overrides):
+    for kv in overrides or []:
+        k, v = kv.split("=", 1)
+        if not hasattr(cfg, k):
+            raise SystemExit(f"unknown config field {k!r} for "
+                             f"{type(cfg).__name__}")
+        cur = getattr(cfg, k)
+        if isinstance(cur, bool):
+            v = v.lower() in ("1", "true", "yes")
+        elif isinstance(cur, int):
+            v = int(v)
+        elif isinstance(cur, float):
+            v = float(v)
+        elif isinstance(cur, tuple):
+            v = tuple(int(x) for x in v.split(","))
+        setattr(cfg, k, v)
+    return cfg
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        description="TPU-native GNN framework trainer")
+    ap.add_argument("--model", required=True, choices=[
+        "gcn", "gat", "graphsage", "graphsage_unsup", "han", "gtn",
+        "deepwalk", "node2vec", "line", "struc2vec", "sdne",
+        "metapath2vec", "gatne", "bine"])
+    ap.add_argument("--dataset", default=None,
+                    help="dataset path (falls back to synthetic)")
+    ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--set", action="append", metavar="KEY=VALUE",
+                    help="override any config field")
+    ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--quiet", action="store_true")
+    args = ap.parse_args(argv)
+    verbose = not args.quiet
+
+    import optax
+
+    name = args.model
+    result = {}
+
+    if name in ("gcn", "gat"):
+        from .data import load_cora
+        from .nn import GAT, GCN
+        from .train.scan_loop import fit_node_classifier_scan
+
+        data = load_cora(root=args.dataset, seed=args.seed)
+        if name == "gcn":
+            # GCN/run.py:7-11: lr=2e-3, wd=5e-4, hidden=128, dropout=0.5,
+            # 4000 epochs
+            model = GCN(hidden=128, num_classes=data.num_classes,
+                        dropout=0.5)
+            epochs = args.epochs or 4000
+            opt = optax.adamw(2e-3, weight_decay=5e-4)
+        else:
+            # GAT/run.py:8-9: lr=1e-2, hidden=8, heads=8, dropout=0.6
+            model = GAT(hidden=8, num_heads=8,
+                        num_classes=data.num_classes, dropout=0.6)
+            epochs = args.epochs or 1000
+            opt = optax.adamw(1e-2, weight_decay=5e-4)
+        res = fit_node_classifier_scan(
+            model, data, epochs=epochs, optimizer=opt,
+            epochs_per_call=min(100, epochs), seed=args.seed,
+            verbose=verbose)
+        result = dict(test_acc=res.test_acc, val_acc=res.best_val_acc,
+                      epochs=res.epochs_run, seconds=res.seconds)
+
+    elif name in ("graphsage", "graphsage_unsup"):
+        from .data.pubmed import load_pubmed
+        from .train.sage_loop import (
+            SageConfig, train_sage_supervised, train_sage_unsupervised)
+
+        data = load_pubmed(root=args.dataset, seed=args.seed)
+        cfg = _apply_overrides(
+            SageConfig(epochs=args.epochs or 5, seed=args.seed), args.set)
+        if name == "graphsage":
+            params, history, test_acc = train_sage_supervised(
+                data, cfg, verbose=verbose)
+            result = dict(test_acc=test_acc, history_tail=history[-1])
+        else:
+            params, history = train_sage_unsupervised(
+                data, cfg, verbose=verbose)
+            result = dict(final_loss=history[-1][1],
+                          binary_acc=history[-1][2])
+
+    elif name == "han":
+        from .data import load_acm_han
+        from .nn import HAN
+        import jax
+        import jax.numpy as jnp
+
+        data = load_acm_han(path=args.dataset, seed=args.seed)
+        model = HAN(num_metapaths=len(data.graphs),
+                    num_classes=data.num_classes, hidden=8, num_heads=(4,))
+        epochs = args.epochs or 100
+        params = model.init(jax.random.PRNGKey(args.seed), data.graphs,
+                            data.features)["params"]
+        tx = optax.adamw(5e-3)
+        opt_state = tx.init(params)
+
+        @jax.jit
+        def step(params, opt_state):
+            def loss_fn(p):
+                logits = model.apply({"params": p}, data.graphs,
+                                     data.features)
+                sel = logits[data.train_idx]
+                return -jax.nn.log_softmax(sel)[
+                    jnp.arange(sel.shape[0]),
+                    data.labels[data.train_idx]].mean()
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            upd, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, upd), opt_state, loss
+
+        for e in range(epochs):
+            params, opt_state, loss = step(params, opt_state)
+            if verbose and (e + 1) % 20 == 0:
+                print(f"epoch {e+1}: loss {float(loss):.4f}")
+        logits = model.apply({"params": params}, data.graphs, data.features)
+        import numpy as np
+        pred = np.argmax(np.asarray(logits)[np.asarray(data.test_idx)], -1)
+        acc = float((pred == np.asarray(
+            data.labels)[np.asarray(data.test_idx)]).mean())
+        result = dict(test_acc=acc)
+
+    elif name == "gtn":
+        from .data import load_acm_gtn
+        from .nn import GTN
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        data = load_acm_gtn(path=args.dataset, seed=args.seed)
+        model = GTN(num_classes=data.num_classes, channels=2,
+                    num_layers=2, hidden=64)
+        epochs = args.epochs or 40
+        params = model.init(jax.random.PRNGKey(args.seed), data.adj,
+                            data.features)["params"]
+        # adaptive per-group lr (GTN/train_utils/train_eval.py:29-34):
+        # GT layers get 0.5×, others 5e-3 — implemented with masked labels
+        def label_fn(params):
+            return {k: ("gt" if k.startswith("gt") else "other")
+                    for k in params}
+        tx = optax.multi_transform(
+            {"gt": optax.adamw(5e-3 * 0.5, weight_decay=1e-3),
+             "other": optax.adamw(5e-3, weight_decay=1e-3)},
+            label_fn)
+        opt_state = tx.init(params)
+        tgt = data.target_idx
+
+        @jax.jit
+        def step(params, opt_state):
+            def loss_fn(p):
+                logits = model.apply({"params": p}, data.adj, data.features)
+                sel = logits[tgt][data.train_idx]
+                return -jax.nn.log_softmax(sel)[
+                    jnp.arange(sel.shape[0]),
+                    data.labels[data.train_idx]].mean()
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            upd, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, upd), opt_state, loss
+
+        for e in range(epochs):
+            params, opt_state, loss = step(params, opt_state)
+            if verbose and (e + 1) % 10 == 0:
+                print(f"epoch {e+1}: loss {float(loss):.4f}")
+        logits = model.apply({"params": params}, data.adj, data.features)
+        from .train.metrics import precision_recall_fbeta
+        sel = logits[tgt][data.test_idx]
+        pred = np.argmax(np.asarray(sel), -1)
+        labels = np.asarray(data.labels)[np.asarray(data.test_idx)]
+        acc = float((pred == labels).mean())
+        prec, rec, f1 = precision_recall_fbeta(
+            sel, jnp.asarray(labels), data.num_classes)
+        result = dict(test_acc=acc, f1=float(f1), precision=float(prec),
+                      recall=float(rec))
+
+    elif name in ("deepwalk", "node2vec", "struc2vec"):
+        from .data.edgelist import load_edgelist
+        from .models import (WalkEmbedConfig, run_deepwalk, run_node2vec,
+                             run_struc2vec)
+
+        data = load_edgelist(path=args.dataset, seed=args.seed)
+        cfg = _apply_overrides(
+            WalkEmbedConfig(epochs=args.epochs or 5, seed=args.seed),
+            args.set)
+        fn = dict(deepwalk=run_deepwalk, node2vec=run_node2vec,
+                  struc2vec=run_struc2vec)[name]
+        emb, history = fn(data, cfg)
+        result = dict(final_loss=history[-1][1], embed_shape=emb.shape)
+
+    elif name == "line":
+        from .data.edgelist import load_edgelist
+        from .models import LINEConfig, run_line
+
+        data = load_edgelist(path=args.dataset, seed=args.seed)
+        cfg = _apply_overrides(
+            LINEConfig(epochs=args.epochs or 5, seed=args.seed), args.set)
+        emb, history = run_line(data, cfg)
+        result = dict(final_loss=history[-1][1], embed_shape=emb.shape)
+
+    elif name == "sdne":
+        from .data.edgelist import load_edgelist
+        from .models import SDNEConfig, run_sdne
+
+        data = load_edgelist(path=args.dataset, seed=args.seed)
+        cfg = _apply_overrides(
+            SDNEConfig(epochs=args.epochs or 10, seed=args.seed), args.set)
+        emb, history = run_sdne(data, cfg)
+        result = dict(final_loss=history[-1][1], embed_shape=emb.shape)
+
+    elif name == "metapath2vec":
+        from .models import WalkEmbedConfig, run_metapath2vec
+
+        cfg = _apply_overrides(
+            WalkEmbedConfig(window=4, num_negatives=4, batch_size=512,
+                            epochs=args.epochs or 5, seed=args.seed),
+            args.set)
+        emb, history = run_metapath2vec(cfg=cfg)
+        result = dict(final_loss=history[-1][1], embed_shape=emb.shape)
+
+    elif name == "gatne":
+        from .data.edgelist import load_multiplex
+        from .models import GATNEConfig, train_gatne
+
+        data = load_multiplex(root=args.dataset, seed=args.seed)
+        cfg = _apply_overrides(
+            GATNEConfig(epochs=args.epochs or 5, seed=args.seed), args.set)
+        params, history, metrics = train_gatne(data, cfg, verbose=verbose)
+        result = dict(test_metrics=metrics)
+
+    elif name == "bine":
+        from .models import BiNEConfig, train_bine
+
+        cfg = _apply_overrides(
+            BiNEConfig(epochs=args.epochs or 5, seed=args.seed), args.set)
+        params, history, metrics = train_bine(cfg=cfg, verbose=verbose)
+        result = dict(final_loss=history[-1][1], test_metrics=metrics)
+
+    def _clean(o):
+        if isinstance(o, dict):
+            return {k: _clean(v) for k, v in o.items()}
+        if isinstance(o, (tuple, list)):
+            return [_clean(v) for v in o]
+        if hasattr(o, "item"):
+            return o.item()
+        return o
+
+    print(json.dumps({"model": name, **_clean(result)}))
+    return result
+
+
+if __name__ == "__main__":
+    main()
