@@ -29,7 +29,10 @@ def spmm(graph, x: jax.Array) -> jax.Array:
     Dispatches on the graph type: single-device ``Graph`` or
     mesh-partitioned ``ShardedGraph`` (parallel/sharded.py).
     """
-    if hasattr(graph, "mesh"):  # ShardedGraph
+    if hasattr(graph, "halo_size"):  # HaloGraph (boundary exchange)
+        from ..parallel.halo import spmm_halo
+        return spmm_halo(graph, x)
+    if hasattr(graph, "mesh"):  # ShardedGraph (all_gather)
         from ..parallel.sharded import spmm_sharded
         return spmm_sharded(graph, x)
     gathered = x[graph.senders] * graph.edge_weight[:, None].astype(x.dtype)

@@ -5,3 +5,9 @@ from .sharded import (  # noqa: F401
     shard_nodes,
     spmm_sharded,
 )
+from .halo import (  # noqa: F401
+    HaloGraph,
+    partition_graph_halo,
+    shard_nodes_halo,
+    spmm_halo,
+)

@@ -1,0 +1,243 @@
+"""Halo-exchange edge-partitioned SpMM — the scaling fast path.
+
+The v1 sharded path (parallel/sharded.py) all-gathers every node feature to
+every device: O(N·F) ICI traffic per layer. This module exchanges only the
+**boundary** features each device actually needs (the graph analogue of
+ring attention's sequence-parallel exchange, SURVEY.md §2.3/§5):
+
+  * owner-computes node sharding as before (receiver-owned edges);
+  * each shard's edges split into INTERIOR (sender local) and BOUNDARY
+    (sender remote);
+  * per device pair (d ← p), the host precomputes which of p's rows d
+    needs; features cross via one `all_to_all` of padded [D, H, F] slabs;
+  * aggregation runs as interior + boundary partial sums, so XLA can
+    overlap the interior aggregation with the in-flight collective.
+
+ICI traffic per layer: O(boundary × F) instead of O(N × F) — for a
+well-partitioned graph the boundary is a small fraction of N.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.pallas.spmm_kernel import EDGE_CHUNK, ROW_BLOCK, compute_chunk_spans
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class HaloGraph:
+    """Edge-partitioned graph with precomputed halo exchange plan.
+
+    Stacked [D, ...] leaves sharded P(axis). Interior edges index local
+    rows; boundary edges index the received halo buffer ([D·H, F] laid out
+    as peer-major slots).
+    """
+
+    # interior edges (senders local to the shard)
+    int_senders: jax.Array     # int32[D, Ei] LOCAL sender idx
+    int_receivers: jax.Array   # int32[D, Ei] local receiver idx
+    int_weight: jax.Array      # f32[D, Ei]
+    int_off: jax.Array         # int32[D, B]
+    int_cnt: jax.Array         # int32[D, B]
+    # boundary edges (senders on other shards → halo buffer slots)
+    bnd_senders: jax.Array     # int32[D, Eb] halo-slot idx (p*H + k)
+    bnd_receivers: jax.Array   # int32[D, Eb]
+    bnd_weight: jax.Array      # f32[D, Eb]
+    bnd_off: jax.Array         # int32[D, B]
+    bnd_cnt: jax.Array         # int32[D, B]
+    # exchange plan: local row indices this shard sends to each peer
+    send_idx: jax.Array        # int32[D, D, H] local row idx (0 pad)
+    n_nodes: int = dataclasses.field(metadata=dict(static=True))
+    n_node_pad: int = dataclasses.field(metadata=dict(static=True))
+    nodes_per_shard: int = dataclasses.field(metadata=dict(static=True))
+    halo_size: int = dataclasses.field(metadata=dict(static=True))
+    int_max_chunks: int = dataclasses.field(metadata=dict(static=True))
+    bnd_max_chunks: int = dataclasses.field(metadata=dict(static=True))
+    axis: str = dataclasses.field(metadata=dict(static=True))
+    mesh: Mesh = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def n_devices(self):
+        return self.send_idx.shape[0]
+
+
+def partition_graph_halo(
+    senders: np.ndarray, receivers: np.ndarray, n_nodes: int,
+    edge_weight: Optional[np.ndarray] = None, *,
+    mesh: Mesh, axis: str = "data",
+) -> HaloGraph:
+    n_dev = mesh.shape[axis]
+    senders = np.asarray(senders, np.int64).ravel()
+    receivers = np.asarray(receivers, np.int64).ravel()
+    if edge_weight is None:
+        edge_weight = np.ones(len(senders), np.float32)
+    edge_weight = np.asarray(edge_weight, np.float32).ravel()
+
+    nps = _round_up(max(n_nodes, 1), ROW_BLOCK * n_dev) // n_dev
+    owner = senders // nps
+
+    # per-shard edge splits + halo need sets
+    shards = []
+    need: list[list[np.ndarray]] = []   # need[d][p] = global ids from p
+    for d in range(n_dev):
+        lo, hi = d * nps, (d + 1) * nps
+        m = (receivers >= lo) & (receivers < hi)
+        s, r, w, o = senders[m], receivers[m] - lo, edge_weight[m], owner[m]
+        interior = o == d
+        shards.append(dict(
+            si=s[interior] - lo, ri=r[interior], wi=w[interior],
+            sb=s[~interior], rb=r[~interior], wb=w[~interior],
+            ob=o[~interior]))
+        nd = []
+        for p in range(n_dev):
+            ids = (np.unique(shards[d]["sb"][shards[d]["ob"] == p])
+                   if p != d else np.zeros(0, np.int64))
+            nd.append(ids)
+        need.append(nd)
+
+    H = max(
+        max((len(ids) for nd in need for ids in nd), default=1), 1)
+    H = _round_up(H, 8)
+
+    # send plan: what d sends to p = need[p][d], as LOCAL row idx of d
+    send_idx = np.zeros((n_dev, n_dev, H), np.int32)
+    for d in range(n_dev):
+        for p in range(n_dev):
+            ids = need[p][d]
+            send_idx[d, p, :len(ids)] = (ids - d * nps).astype(np.int32)
+
+    def pack(key_s, key_r, key_w, remap=None, ob=None, d=None):
+        """Sort by receiver, pad, spans."""
+        s, r, w = key_s, key_r, key_w
+        order = np.argsort(r, kind="stable")
+        s, r, w = s[order], r[order], w[order]
+        if remap is not None:
+            s = remap(s, ob[order])
+        return s.astype(np.int64), r, w
+
+    Ei = max(_round_up(max((len(sh["si"]) for sh in shards), default=1),
+                       EDGE_CHUNK), EDGE_CHUNK)
+    Eb = max(_round_up(max((len(sh["sb"]) for sh in shards), default=1),
+                       EDGE_CHUNK), EDGE_CHUNK)
+    B = nps // ROW_BLOCK
+
+    SI = np.zeros((n_dev, Ei), np.int32)
+    RI = np.zeros((n_dev, Ei), np.int32)
+    WI = np.zeros((n_dev, Ei), np.float32)
+    OFF_I = np.zeros((n_dev, B), np.int32)
+    CNT_I = np.zeros((n_dev, B), np.int32)
+    SB = np.zeros((n_dev, Eb), np.int32)
+    RB = np.zeros((n_dev, Eb), np.int32)
+    WB = np.zeros((n_dev, Eb), np.float32)
+    OFF_B = np.zeros((n_dev, B), np.int32)
+    CNT_B = np.zeros((n_dev, B), np.int32)
+    mc_i = mc_b = 1
+    for d, sh in enumerate(shards):
+        # interior
+        s, r, w = pack(sh["si"], sh["ri"], sh["wi"])
+        k = len(s)
+        SI[d, :k], RI[d, :k], WI[d, :k] = s, r, w
+        if k < Ei:
+            RI[d, k:] = nps - 1
+        lo_, cnt_, mc = compute_chunk_spans(RI[d], nps)
+        OFF_I[d], CNT_I[d] = lo_, cnt_
+        mc_i = max(mc_i, mc)
+        # boundary: remap sender global id → halo slot p*H + rank
+        slot_map = {}
+        for p in range(n_dev):
+            for kk, gid in enumerate(need[d][p]):
+                slot_map[int(gid)] = p * H + kk
+
+        def remap(s_arr, ob_arr):
+            return np.array([slot_map[int(g)] for g in s_arr], np.int64)
+
+        s, r, w = pack(sh["sb"], sh["rb"], sh["wb"],
+                       remap=remap, ob=sh["ob"], d=d)
+        k = len(s)
+        SB[d, :k], RB[d, :k], WB[d, :k] = s, r, w
+        if k < Eb:
+            RB[d, k:] = nps - 1
+        lo_, cnt_, mc = compute_chunk_spans(RB[d], nps)
+        OFF_B[d], CNT_B[d] = lo_, cnt_
+        mc_b = max(mc_b, mc)
+
+    sh_ = NamedSharding(mesh, P(axis))
+    put = lambda a: jax.device_put(jnp.asarray(a), sh_)
+    return HaloGraph(
+        int_senders=put(SI), int_receivers=put(RI), int_weight=put(WI),
+        int_off=put(OFF_I), int_cnt=put(CNT_I),
+        bnd_senders=put(SB), bnd_receivers=put(RB), bnd_weight=put(WB),
+        bnd_off=put(OFF_B), bnd_cnt=put(CNT_B),
+        send_idx=put(send_idx),
+        n_nodes=int(n_nodes), n_node_pad=int(nps * n_dev),
+        nodes_per_shard=int(nps), halo_size=int(H),
+        int_max_chunks=int(mc_i), bnd_max_chunks=int(mc_b),
+        axis=axis, mesh=mesh,
+    )
+
+
+def spmm_halo(hg: HaloGraph, x: jax.Array) -> jax.Array:
+    """out = Â @ x with x sharded P(axis) on rows.
+
+    Per device: start the all_to_all of needed boundary rows, aggregate
+    interior edges from local x (overlappable), aggregate boundary edges
+    from the received halo slab, add.
+    """
+    from ..ops.aggregate import _aggregate_core
+
+    n_dev = hg.n_devices
+    H = hg.halo_size
+
+    @partial(
+        jax.shard_map, mesh=hg.mesh,
+        in_specs=(P(hg.axis),) * 12,
+        out_specs=P(hg.axis),
+    )
+    def f(si, ri, wi, oi, ci, sb, rb, wb, ob, cb, send_idx_, x_local):
+        si, ri, wi, oi, ci = si[0], ri[0], wi[0], oi[0], ci[0]
+        sb, rb, wb, ob, cb = sb[0], rb[0], wb[0], ob[0], cb[0]
+        send_idx_ = send_idx_[0]                      # [D, H]
+
+        # launch boundary exchange: rows we owe each peer
+        sends = x_local[send_idx_.reshape(-1)]        # [D*H, F]
+        halo = jax.lax.all_to_all(
+            sends, hg.axis, split_axis=0, concat_axis=0, tiled=True)
+
+        # interior aggregation (overlaps with the collective)
+        vi = x_local[si] * wi[:, None].astype(x_local.dtype)
+        out = _aggregate_core(ri, vi, oi, ci,
+                              hg.nodes_per_shard, hg.int_max_chunks)
+
+        # boundary aggregation from halo slots
+        vb = halo[sb] * wb[:, None].astype(x_local.dtype)
+        out = out + _aggregate_core(rb, vb, ob, cb,
+                                    hg.nodes_per_shard, hg.bnd_max_chunks)
+        return out
+
+    return f(hg.int_senders, hg.int_receivers, hg.int_weight,
+             hg.int_off, hg.int_cnt,
+             hg.bnd_senders, hg.bnd_receivers, hg.bnd_weight,
+             hg.bnd_off, hg.bnd_cnt,
+             hg.send_idx, x)
+
+
+def shard_nodes_halo(x: np.ndarray, hg: HaloGraph) -> jax.Array:
+    x = np.asarray(x)
+    pad = hg.n_node_pad - x.shape[0]
+    if pad > 0:
+        x = np.concatenate(
+            [x, np.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
+    spec = P(hg.axis, *([None] * (x.ndim - 1)))
+    return jax.device_put(jnp.asarray(x), NamedSharding(hg.mesh, spec))
