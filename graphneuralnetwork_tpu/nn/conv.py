@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from ..core.graph import Graph
 from ..ops import (
     aggregate_edges,
+    edge_softmax,
     segment_max,
     segment_mean,
     segment_softmax,
@@ -93,8 +94,7 @@ class GATConv(nn.Module):
         # Edge scores [E, H]: sender contributes f_src, receiver f_dst.
         scores = f_src[graph.senders] + f_dst[graph.receivers]
         scores = nn.leaky_relu(scores, self.negative_slope)
-        alpha = segment_softmax(
-            scores, graph.receivers, graph.n_nodes, mask=graph.edge_mask)
+        alpha = edge_softmax(graph, scores)
         if self.attn_dropout > 0.0 and not self.deterministic:
             alpha = nn.Dropout(rate=self.attn_dropout, deterministic=False)(
                 alpha)

@@ -29,6 +29,7 @@ def _use_pallas(x) -> bool:
 
 from .aggregate import aggregate_edges  # noqa: E402,F401
 from .segment import (  # noqa: E402,F401
+    edge_softmax,
     segment_max,
     segment_mean,
     segment_softmax,

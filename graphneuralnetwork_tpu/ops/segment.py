@@ -94,3 +94,45 @@ def segment_softmax(
                                 indices_are_sorted=True)
     denom = jnp.maximum(denom, jnp.asarray(1e-16, dtype=e.dtype))
     return e / denom[segment_ids]
+
+
+def edge_softmax(graph, scores, mask=None, stable: bool = True):
+    """Graph-aware segment softmax over incoming edges.
+
+    Same semantics as ``segment_softmax`` but routed through the Pallas
+    scatter-free kernels on TPU (segment-max kernel for the stabiliser +
+    the aggregation kernel for the denominator), using the graph's
+    precomputed chunk spans. ``scores``: [E_pad] or [E_pad, H].
+    """
+    from . import _use_pallas
+
+    if mask is None:
+        mask = graph.edge_mask
+    if not _use_pallas(scores):
+        return segment_softmax(scores, graph.receivers, graph.n_nodes,
+                               mask=mask, stable=stable)
+
+    from .aggregate import aggregate_edges
+    from .pallas.segment_max_kernel import segment_max_pallas
+
+    squeeze = scores.ndim == 1
+    s2 = scores[:, None] if squeeze else scores
+    m2 = mask[:, None] if squeeze else mask.reshape(
+        mask.shape + (1,) * (s2.ndim - 1))
+    neg = jnp.finfo(jnp.float32).min
+    s2 = jnp.where(m2, s2.astype(jnp.float32), neg)
+    if stable:
+        # softmax is invariant to the subtracted constant — stop gradients
+        # BEFORE the kernel so autodiff never differentiates pallas_call
+        seg_max = segment_max_pallas(
+            graph.chunk_off, graph.chunk_cnt,
+            graph.receivers.reshape(-1, 1), jax.lax.stop_gradient(s2),
+            graph.n_nodes, graph.max_chunks)
+        seg_max = jnp.where(seg_max > neg / 2, seg_max, 0.0)
+        s2 = s2 - seg_max[graph.receivers]
+    e = jnp.where(m2, jnp.exp(s2), 0.0)
+    denom = aggregate_edges(graph, e)
+    denom = jnp.maximum(denom, 1e-16)
+    alpha = e / denom[graph.receivers]
+    alpha = alpha.astype(scores.dtype)
+    return alpha[:, 0] if squeeze else alpha

@@ -162,3 +162,13 @@ def test_sddmm_dot(small_graph, rng):
     r = np.asarray(g.receivers)
     ref = np.sum(np.asarray(a)[s] * np.asarray(b)[r], axis=-1)
     np.testing.assert_allclose(np.asarray(e), ref, atol=1e-5)
+
+
+def test_edge_softmax_matches_segment_softmax(small_graph, rng):
+    from graphneuralnetwork_tpu.ops import edge_softmax
+    g = small_graph
+    scores = jnp.asarray(
+        rng.normal(size=(g.n_edge_pad, 4)).astype(np.float32))
+    a1 = edge_softmax(g, scores)
+    a2 = segment_softmax(scores, g.receivers, g.n_nodes, mask=g.edge_mask)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), atol=1e-5)
