@@ -1,0 +1,125 @@
+"""ctypes loader for the native C++ walk engine (native/walker.cpp).
+
+Builds the shared library on first use (g++ -O3 -fopenmp) into the package
+directory and caches it; all entry points return None-safe fallbacks if the
+toolchain is unavailable, so the numpy walkers keep everything working.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_LOCK = threading.Lock()
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+_SRC = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "native", "walker.cpp")
+_SO = os.path.join(os.path.dirname(_SRC), "libgnnwalker.so")
+
+
+def _build() -> bool:
+    cmd = ["g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
+           _SRC, "-o", _SO + ".tmp"]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(_SO + ".tmp", _SO)
+        return True
+    except Exception:
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    with _LOCK:
+        if _LIB is not None or _TRIED:
+            return _LIB
+        _TRIED = True
+        if not os.path.exists(_SO) or (
+                os.path.exists(_SRC)
+                and os.path.getmtime(_SRC) > os.path.getmtime(_SO)):
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            return None
+        I64 = ctypes.POINTER(ctypes.c_int64)
+        I32 = ctypes.POINTER(ctypes.c_int32)
+        F32 = ctypes.POINTER(ctypes.c_float)
+        U64 = ctypes.c_uint64
+        lib.uniform_walks.argtypes = [I64, I32, I64, ctypes.c_int64,
+                                      ctypes.c_int64, U64, I32]
+        lib.alias_walks.argtypes = [I64, I32, F32, I32, I64,
+                                    ctypes.c_int64, ctypes.c_int64, U64, I32]
+        lib.node2vec_walks.argtypes = [I64, I32, F32, I32, F32, I32, I64,
+                                       I64, ctypes.c_int64, ctypes.c_int64,
+                                       U64, I32]
+        lib.sample_neighbors.argtypes = [I64, I32, I64, ctypes.c_int64,
+                                         ctypes.c_int64, U64, I32]
+        lib.num_threads.restype = ctypes.c_int
+        _LIB = lib
+        return _LIB
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def _p(a, t):
+    return a.ctypes.data_as(ctypes.POINTER(t))
+
+
+def uniform_walks_native(indptr, indices, starts, length: int,
+                         seed: int) -> Optional[np.ndarray]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    indptr = np.ascontiguousarray(indptr, np.int64)
+    indices = np.ascontiguousarray(indices, np.int32)
+    starts = np.ascontiguousarray(starts, np.int64)
+    out = np.empty((len(starts), length), np.int32)
+    lib.uniform_walks(_p(indptr, ctypes.c_int64), _p(indices, ctypes.c_int32),
+                      _p(starts, ctypes.c_int64), len(starts), length,
+                      seed & 0xFFFFFFFFFFFFFFFF, _p(out, ctypes.c_int32))
+    return out
+
+
+def alias_walks_native(indptr, indices, accept, alias, starts, length: int,
+                       seed: int) -> Optional[np.ndarray]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    indptr = np.ascontiguousarray(indptr, np.int64)
+    indices = np.ascontiguousarray(indices, np.int32)
+    accept = np.ascontiguousarray(accept, np.float32)
+    alias = np.ascontiguousarray(alias, np.int32)
+    starts = np.ascontiguousarray(starts, np.int64)
+    out = np.empty((len(starts), length), np.int32)
+    lib.alias_walks(_p(indptr, ctypes.c_int64), _p(indices, ctypes.c_int32),
+                    _p(accept, ctypes.c_float), _p(alias, ctypes.c_int32),
+                    _p(starts, ctypes.c_int64), len(starts), length,
+                    seed & 0xFFFFFFFFFFFFFFFF, _p(out, ctypes.c_int32))
+    return out
+
+
+def sample_neighbors_native(indptr, indices, nodes, fanout: int,
+                            seed: int) -> Optional[np.ndarray]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    indptr = np.ascontiguousarray(indptr, np.int64)
+    indices = np.ascontiguousarray(indices, np.int32)
+    nodes = np.ascontiguousarray(nodes, np.int64)
+    out = np.empty(len(nodes) * fanout, np.int32)
+    lib.sample_neighbors(_p(indptr, ctypes.c_int64),
+                         _p(indices, ctypes.c_int32),
+                         _p(nodes, ctypes.c_int64), len(nodes), fanout,
+                         seed & 0xFFFFFFFFFFFFFFFF, _p(out, ctypes.c_int32))
+    return out

@@ -15,8 +15,18 @@ import numpy as np
 
 
 def sample_neighbors(nodes: np.ndarray, fanout: int, indptr, indices,
-                     rng: np.random.Generator) -> np.ndarray:
-    """[len(nodes) * fanout] sampled neighbors (with replacement)."""
+                     rng: np.random.Generator,
+                     use_native: bool = True) -> np.ndarray:
+    """[len(nodes) * fanout] sampled neighbors (with replacement). Prefers
+    the OpenMP C++ engine (native/walker.cpp) when built."""
+    if use_native:
+        from .native import sample_neighbors_native
+
+        out = sample_neighbors_native(
+            indptr, indices, np.asarray(nodes, np.int64).ravel(), fanout,
+            int(rng.integers(0, 2**62)))
+        if out is not None:
+            return out
     nodes = np.asarray(nodes, np.int64).ravel()
     deg = (indptr[1:] - indptr[:-1])[nodes]
     off = (rng.random((len(nodes), fanout)) *

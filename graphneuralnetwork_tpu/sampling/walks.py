@@ -33,10 +33,20 @@ def csr_from_edges(senders, receivers, n_nodes: int,
 
 
 def uniform_walks(indptr, indices, starts, length: int,
-                  rng: np.random.Generator) -> np.ndarray:
+                  rng: np.random.Generator,
+                  use_native: bool = True) -> np.ndarray:
     """[n_starts, length] uniform walks; dead-ends self-absorb
     (DeepWalk/data_utils.py:28-45 semantics with num_walks handled by
-    repeating ``starts``)."""
+    repeating ``starts``). Uses the OpenMP C++ engine when available
+    (native/walker.cpp), falling back to the vectorised numpy path."""
+    if use_native:
+        from .native import uniform_walks_native
+
+        out = uniform_walks_native(
+            indptr, indices, np.asarray(starts, np.int64), length,
+            int(rng.integers(0, 2**62)))
+        if out is not None:
+            return out
     starts = np.asarray(starts, np.int64)
     n = len(starts)
     walks = np.empty((n, length), np.int32)

@@ -1,0 +1,71 @@
+"""Native C++ walk engine: build, correctness vs CSR, numpy-fallback."""
+
+import numpy as np
+import pytest
+
+from graphneuralnetwork_tpu.sampling import csr_from_edges, native
+from graphneuralnetwork_tpu.sampling import sample_neighbors, uniform_walks
+
+
+@pytest.fixture(scope="module")
+def csr(rng):
+    n = 200
+    s = rng.integers(0, n, 1500)
+    r = rng.integers(0, n, 1500)
+    return csr_from_edges(s, r, n), n
+
+
+def test_native_builds():
+    assert native.available(), "native walker failed to build"
+
+
+def test_native_walks_follow_edges(csr, rng):
+    (indptr, indices, _), n = csr
+    starts = np.arange(n, dtype=np.int64)
+    w = native.uniform_walks_native(indptr, indices, starts, 8, seed=7)
+    assert w.shape == (n, 8)
+    for i in range(n):
+        for t in range(7):
+            nb = indices[indptr[w[i, t]]:indptr[w[i, t] + 1]]
+            assert (w[i, t + 1] in nb) or (len(nb) == 0
+                                           and w[i, t + 1] == w[i, t])
+
+
+def test_native_deterministic_per_seed(csr):
+    (indptr, indices, _), n = csr
+    starts = np.arange(n, dtype=np.int64)
+    w1 = native.uniform_walks_native(indptr, indices, starts, 6, seed=3)
+    w2 = native.uniform_walks_native(indptr, indices, starts, 6, seed=3)
+    w3 = native.uniform_walks_native(indptr, indices, starts, 6, seed=4)
+    np.testing.assert_array_equal(w1, w2)
+    assert (w1 != w3).any()
+
+
+def test_alias_walks_native_distribution(csr, rng):
+    from graphneuralnetwork_tpu.sampling.alias import build_alias_table
+    (indptr, indices, w), n = csr
+    # per-node alias tables laid out on CSR edges
+    accept = np.zeros(len(indices), np.float32)
+    alias = np.zeros(len(indices), np.int32)
+    for v in range(n):
+        lo, hi = indptr[v], indptr[v + 1]
+        if hi > lo:
+            a, al = build_alias_table(np.ones(hi - lo))
+            accept[lo:hi] = a
+            alias[lo:hi] = al
+    starts = np.repeat(np.arange(n, dtype=np.int64), 4)
+    out = native.alias_walks_native(indptr, indices, accept, alias,
+                                    starts, 6, seed=9)
+    assert out.shape == (4 * n, 6)
+    for i in range(0, len(out), 37):
+        for t in range(5):
+            nb = indices[indptr[out[i, t]]:indptr[out[i, t] + 1]]
+            assert (out[i, t + 1] in nb) or (len(nb) == 0)
+
+
+def test_python_wrappers_use_native(csr, rng):
+    (indptr, indices, _), n = csr
+    w = uniform_walks(indptr, indices, np.arange(n), 5, rng)
+    assert w.shape == (n, 5)
+    nb = sample_neighbors(np.arange(10), 4, indptr, indices, rng)
+    assert nb.shape == (40,)
