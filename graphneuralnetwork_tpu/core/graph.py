@@ -31,8 +31,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-#: Edge blocks are padded to a multiple of this so Pallas grids tile evenly.
-EDGE_BLOCK = 512
+#: Edge blocks are padded to a multiple of the Pallas edge-chunk size so
+#: grids tile evenly. MUST equal ops/pallas/spmm_kernel.EDGE_CHUNK (checked
+#: in build_graph; a module-level import would be circular).
+EDGE_BLOCK = 1024
 #: Node counts are padded to a multiple of the float32 TPU tile sublane dim.
 NODE_BLOCK = 8
 
@@ -119,8 +121,10 @@ def build_graph(
         s[n_edges:] = n_nodes - 1 if n_nodes > 0 else 0
         r[n_edges:] = n_nodes - 1 if n_nodes > 0 else 0
 
-    from ..ops.pallas.spmm_kernel import ROW_BLOCK, compute_chunk_spans
+    from ..ops.pallas.spmm_kernel import (
+        EDGE_CHUNK, ROW_BLOCK, compute_chunk_spans)
 
+    assert EDGE_BLOCK == EDGE_CHUNK, (EDGE_BLOCK, EDGE_CHUNK)
     if sort_by_receiver:
         lo, cnt, max_chunks = compute_chunk_spans(r, n_nodes)
     else:

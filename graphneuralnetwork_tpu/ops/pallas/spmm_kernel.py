@@ -34,8 +34,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-ROW_BLOCK = 128   # output rows per grid step (one-hot matmul M rows)
-EDGE_CHUNK = 512  # edges per chunk (one-hot matmul contraction dim)
+ROW_BLOCK = 128    # output rows per grid step (one-hot matmul M rows)
+# Edges per chunk (one-hot matmul contraction dim). Large chunks matter:
+# per-grid-step overhead (~1-2us) dominates small chunks — 512-edge chunks
+# ran the kernel at ~90GB/s effective, 2048 approaches DMA-bound.
+EDGE_CHUNK = 1024
 
 
 def compute_chunk_spans(receivers_sorted: np.ndarray, n_out: int):
