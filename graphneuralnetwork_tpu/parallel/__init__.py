@@ -11,3 +11,9 @@ from .halo import (  # noqa: F401
     shard_nodes_halo,
     spmm_halo,
 )
+from .multihost import (  # noqa: F401
+    initialize_distributed,
+    is_primary,
+    make_mesh,
+    process_count,
+)
