@@ -48,7 +48,13 @@ def main(argv=None):
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--quiet", action="store_true")
     args = ap.parse_args(argv)
-    verbose = not args.quiet
+
+    # Multi-host: init the runtime (no-op single-process) and restrict
+    # console logging to the primary host. Checkpoint writes are gated on
+    # is_primary() inside train/checkpoint.py.
+    from .parallel.multihost import initialize_distributed, is_primary
+    initialize_distributed()
+    verbose = not args.quiet and is_primary()
 
     import optax
 

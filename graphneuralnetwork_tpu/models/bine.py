@@ -46,6 +46,7 @@ class BiNEConfig:
     lr: float = 1e-2
     epochs: int = 5
     seed: int = 0
+    logdir: Optional[str] = None  # TensorBoard dir (BiNE train_eval.py:41)
 
 
 def hits_centrality(u, v, n_users: int, n_items: int,
@@ -150,14 +151,24 @@ def train_bine(bg: Optional[BipartiteGraph] = None,
                 return jnp.sum(ls * mask) / jnp.maximum(mask.sum(), 1.0)
             o2 = sg(p["U"], p["Cu"], cu, cnu, lu, mu)
             o3 = sg(p["V"], p["Cv"], cv, cnv, lv, mv)
-            return cfg.alpha * o1 + cfg.beta * o2 + cfg.gamma * o3
+            total = cfg.alpha * o1 + cfg.beta * o2 + cfg.gamma * o3
+            return total, (o1, o2, o3)
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+        (loss, terms), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
+        return optax.apply_updates(params, updates), opt_state, loss, terms
+
+    # Per-term TensorBoard logging, mirroring the reference's three
+    # add_scalar calls (BiNE/train_utils/train_eval.py:75-77).
+    writer = None
+    if cfg.logdir is not None:
+        from ..utils.tb import SummaryWriter
+        writer = SummaryWriter(cfg.logdir)
 
     history = []
     b = cfg.batch_size
+    gstep = 0
     for epoch in range(1, cfg.epochs + 1):
         it_u = minibatches(du, b, rng)
         it_v = minibatches(dv, b, rng)
@@ -174,12 +185,22 @@ def train_bine(bg: Optional[BipartiteGraph] = None,
                 it_v = minibatches(dv, b, rng)
                 bv = next(it_v)
             batch = tuple(map(jnp.asarray, be_u + bu + bv))
-            params, opt_state, loss = step(params, opt_state, batch)
+            params, opt_state, loss, terms = step(params, opt_state, batch)
             tot += float(loss)
             nb += 1
+            gstep += 1
+            if writer is not None:
+                writer.add_scalar("loss/o1_explicit", float(terms[0]),
+                                  global_step=gstep)
+                writer.add_scalar("loss/o2_implicit_u", float(terms[1]),
+                                  global_step=gstep)
+                writer.add_scalar("loss/o3_implicit_v", float(terms[2]),
+                                  global_step=gstep)
         history.append((epoch, tot / max(nb, 1)))
         if verbose:
             print(f"epoch {epoch}: loss {history[-1][1]:.5f}")
+    if writer is not None:
+        writer.close()
 
     metrics = None
     if test_edges is not None:

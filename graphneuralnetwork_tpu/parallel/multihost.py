@@ -31,12 +31,24 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
     """
     import jax
 
+    # Idempotency: jax 0.9 raises 'distributed.initialize should only be
+    # called once.' on double-init — check the client handle instead of
+    # string-matching the error.
+    try:
+        from jax._src import distributed as _dist
+        if getattr(_dist.global_state, "client", None) is not None:
+            return
+    except Exception:
+        pass
+
+    # COORDINATOR_ADDRESS is not read by JAX itself — pass it explicitly.
+    if coordinator_address is None:
+        coordinator_address = os.environ.get("COORDINATOR_ADDRESS")
     explicit = coordinator_address is not None
-    # Only explicit coordinator envs trigger auto-init: TPU_WORKER_HOSTNAMES
-    # & co. are set even on single-process dev rigs.
+    # Only coordinator envs JAX actually reads trigger auto-init:
+    # TPU_WORKER_HOSTNAMES & co. are set even on single-process dev rigs.
     auto_env = any(k in os.environ for k in (
-        "COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS",
-        "MEGASCALE_COORDINATOR_ADDRESS"))
+        "JAX_COORDINATOR_ADDRESS", "MEGASCALE_COORDINATOR_ADDRESS"))
     if not (explicit or auto_env):
         return  # single-process run
     try:
@@ -44,8 +56,9 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id)
-    except RuntimeError as e:  # already initialised
-        if "already" not in str(e).lower():
+    except RuntimeError as e:  # already initialised (fallback path)
+        msg = str(e).lower()
+        if "already" not in msg and "only be called once" not in msg:
             raise
 
 
@@ -66,7 +79,30 @@ def make_mesh(axis_names: Sequence[str] = ("data",),
         shape = (len(devs),) if len(axis_names) == 1 else None
     if shape is None:
         raise ValueError("shape required for >1 mesh axis")
-    arr = np.asarray(devs).reshape(tuple(shape))
+    shape = tuple(shape)
+    if len(shape) == 1:
+        return Mesh(np.asarray(devs).reshape(shape), tuple(axis_names))
+    # Multi-axis: a plain reshape of jax.devices() can straddle hosts on the
+    # trailing axis. Use mesh_utils for physically-aware layout; fall back to
+    # a validated host-major reshape when the device list is custom.
+    if devices is None:
+        try:
+            from jax.experimental import mesh_utils
+            arr = mesh_utils.create_device_mesh(shape)
+            return Mesh(arr, tuple(axis_names))
+        except Exception:
+            pass
+    if shape[-1] > jax.local_device_count():
+        raise ValueError(
+            f"trailing mesh axis {shape[-1]} exceeds local_device_count "
+            f"{jax.local_device_count()}; it would straddle hosts and break "
+            "the ICI-locality contract")
+    devs = sorted(devs, key=lambda d: (d.process_index, d.id))
+    arr = np.asarray(devs).reshape(shape)
+    # trailing axis must stay within one host's ICI domain
+    procs = np.asarray([d.process_index for d in devs]).reshape(shape)
+    if not (procs == procs[..., :1]).all():
+        raise ValueError("mesh trailing axis straddles hosts")
     return Mesh(arr, tuple(axis_names))
 
 

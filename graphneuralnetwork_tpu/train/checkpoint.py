@@ -20,6 +20,10 @@ def _path(ckpt_dir: str, name: str = "checkpoint.msgpack") -> str:
 
 
 def save_checkpoint(ckpt_dir: str, state: Any, step: int) -> str:
+    # Multi-host: only the primary process writes (all hosts hold replicated
+    # params, so one copy suffices and concurrent writers would race).
+    if jax.process_index() != 0:
+        return _path(ckpt_dir)
     os.makedirs(ckpt_dir, exist_ok=True)
     payload = {
         "step": step,

@@ -25,7 +25,13 @@ class SummaryWriter:
         except Exception:
             self._jsonl = open(os.path.join(logdir, "events.jsonl"), "a")
 
-    def add_scalar(self, tag: str, value: float, step: Optional[int] = None):
+    def add_scalar(self, tag: str, value: float, step: Optional[int] = None,
+                   global_step: Optional[int] = None):
+        # `global_step=` is torch SummaryWriter's keyword (used by ported
+        # call sites, BiNE/train_utils/train_eval.py:75-77); `step=` kept
+        # as the native spelling.
+        if step is None:
+            step = global_step
         if self._tb is not None:
             self._tb.add_scalar(tag, float(value), step)
         else:
@@ -36,11 +42,23 @@ class SummaryWriter:
     def flush(self):
         if self._tb is not None:
             self._tb.flush()
-        else:
+        elif not self._jsonl.closed:
             self._jsonl.flush()
 
     def close(self):
         if self._tb is not None:
             self._tb.close()
-        else:
+        elif not self._jsonl.closed:
             self._jsonl.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
