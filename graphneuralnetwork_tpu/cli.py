@@ -46,6 +46,10 @@ def main(argv=None):
     ap.add_argument("--set", action="append", metavar="KEY=VALUE",
                     help="override any config field")
     ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--resume", action="store_true",
+                    help="load a prior checkpoint before training "
+                         "(reference is_current_train, "
+                         "GTN/train_utils/train_eval.py:22-25)")
     ap.add_argument("--quiet", action="store_true")
     args = ap.parse_args(argv)
 
@@ -83,7 +87,8 @@ def main(argv=None):
         res = fit_node_classifier_scan(
             model, data, epochs=epochs, optimizer=opt,
             epochs_per_call=min(100, epochs), seed=args.seed,
-            verbose=verbose)
+            verbose=verbose, checkpoint_dir=args.checkpoint_dir,
+            resume=args.resume)
         result = dict(test_acc=res.test_acc, val_acc=res.best_val_acc,
                       epochs=res.epochs_run, seconds=res.seconds)
 

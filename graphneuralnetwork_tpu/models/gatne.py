@@ -42,6 +42,9 @@ class GATNEConfig:
     epochs: int = 5
     seed: int = 0
     inductive: bool = False   # GATNE-I uses node features
+    # Walk-corpus cache dir: walks persist across runs like the reference's
+    # train_walks.txt (GATNE/utils/data_utils.py:171-177, 184-207).
+    cache_dir: Optional[str] = None
 
 
 def build_neighbor_tables(data: MultiplexData, samples: int,
@@ -65,19 +68,46 @@ def build_neighbor_tables(data: MultiplexData, samples: int,
     return out
 
 
-def generate_pairs(data: MultiplexData, cfg: GATNEConfig,
-                   rng: np.random.Generator):
-    """Per-type walks → (center, context, type) triples
-    (GATNE/utils/data_utils.py:89-124)."""
-    centers, contexts, types = [], [], []
-    for t, ty in enumerate(data.edge_types):
+def _generate_walks(data: MultiplexData, cfg: GATNEConfig,
+                    rng: np.random.Generator) -> Dict[str, np.ndarray]:
+    """Per-type walk corpora, persisted to ``cfg.cache_dir`` so reruns skip
+    regeneration — the reference's train_walks.txt save/load
+    (GATNE/utils/data_utils.py:171-177, 184-207), stored as one .npz."""
+    import os
+    cache = None
+    if cfg.cache_dir is not None:
+        os.makedirs(cfg.cache_dir, exist_ok=True)
+        cache = os.path.join(
+            cfg.cache_dir,
+            f"walks_w{cfg.num_walks}_l{cfg.walk_length}_s{cfg.seed}.npz")
+        if os.path.exists(cache):
+            with np.load(cache) as z:
+                return {ty: z[ty] for ty in data.edge_types}
+    out = {}
+    for ty in data.edge_types:
         s, r = data.train_edges[ty]
         ss = np.concatenate([s, r])
         rr = np.concatenate([r, s])
         indptr, indices, _ = csr_from_edges(ss, rr, data.n_nodes)
         nodes = np.unique(ss)
         starts = np.tile(nodes, cfg.num_walks)
-        walks = uniform_walks(indptr, indices, starts, cfg.walk_length, rng)
+        out[ty] = uniform_walks(indptr, indices, starts, cfg.walk_length,
+                                rng)
+    if cache is not None:
+        tmp = cache + ".tmp.npz"
+        np.savez_compressed(tmp, **out)
+        os.replace(tmp, cache)
+    return out
+
+
+def generate_pairs(data: MultiplexData, cfg: GATNEConfig,
+                   rng: np.random.Generator):
+    """Per-type walks → (center, context, type) triples
+    (GATNE/utils/data_utils.py:89-124)."""
+    centers, contexts, types = [], [], []
+    all_walks = _generate_walks(data, cfg, rng)
+    for t, ty in enumerate(data.edge_types):
+        walks = all_walks[ty]
         c, ctx = centers_and_contexts(walks.astype(np.int64),
                                       cfg.window, rng)
         for k in range(ctx.shape[1]):

@@ -105,12 +105,21 @@ def fit_node_classifier(
     seed: int = 0,
     verbose: bool = False,
     checkpoint_dir: Optional[str] = None,
+    resume: bool = False,
 ) -> FitResult:
     """Full training run with best-val selection + early stop + final test,
-    mirroring the control flow of GCN/train_eval.py:20-83."""
+    mirroring the control flow of GCN/train_eval.py:20-83. ``resume``
+    restores a prior checkpoint first (is_current_train,
+    GTN/train_utils/train_eval.py:22-25)."""
     rng = jax.random.PRNGKey(seed)
     state = create_train_state(model, data.graph, data.features, rng,
                                optimizer)
+    if resume and checkpoint_dir is not None:
+        from .checkpoint import restore_checkpoint
+        try:
+            state, _ = restore_checkpoint(checkpoint_dir, state)
+        except FileNotFoundError:
+            pass
     step = make_node_classification_step(model)
     evaluate = make_eval_fn(model)
 

@@ -69,9 +69,16 @@ def fit_node_classifier_scan(
     patience_calls: int = 3,
     seed: int = 0,
     verbose: bool = False,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
 ):
     """Chunked fit: K epochs per device dispatch, host checks early-stop
-    between chunks. Returns a loop.FitResult."""
+    between chunks. Returns a loop.FitResult.
+
+    ``checkpoint_dir`` saves params+opt_state on every val improvement
+    (GCN/train_eval.py:53-55); ``resume`` loads a prior checkpoint before
+    training, mirroring the reference's ``is_current_train`` flag
+    (GTN/train_utils/train_eval.py:22-25)."""
     import time
 
     import numpy as np
@@ -81,6 +88,20 @@ def fit_node_classifier_scan(
     rng = jax.random.PRNGKey(seed)
     state = create_train_state(model, data.graph, data.features, rng,
                                optimizer)
+    # Resume restores params/opt state and then trains the full ``epochs``
+    # budget on top — the reference loads the checkpoint and reruns its
+    # configured loop (GTN/train_utils/train_eval.py:22-25).
+    start_epoch = 0
+    if resume and checkpoint_dir is not None:
+        from .checkpoint import restore_checkpoint
+        try:
+            state, start_epoch = restore_checkpoint(checkpoint_dir, state)
+            if verbose:
+                print(f"resumed from {checkpoint_dir} "
+                      f"at epoch {start_epoch}")
+        except FileNotFoundError:
+            pass  # fresh run — the flag tolerates a missing first ckpt
+    done = 0
     run = make_scanned_node_classification_run(model, epochs_per_call)
     evaluate = make_eval_fn(model)
 
@@ -90,7 +111,6 @@ def fit_node_classifier_scan(
     bad = 0
     history = []
     t0 = time.perf_counter()
-    done = 0
     while done < epochs:
         state, ms = run(state, data.graph, data.features, data.labels,
                         data.train_idx, data.val_idx)
@@ -109,6 +129,9 @@ def fit_node_classifier_scan(
             best_val_acc = float(np.asarray(ms["val_acc"])[-1])
             best_params = jax.tree.map(lambda a: a, state.params)
             bad = 0
+            if checkpoint_dir is not None:
+                from .checkpoint import save_checkpoint
+                save_checkpoint(checkpoint_dir, state, start_epoch + done)
         else:
             bad += 1
             if bad >= patience_calls:

@@ -124,3 +124,19 @@ def test_bine_link_prediction():
     params, history, metrics = train_bine(cfg=cfg)
     assert history[-1][1] < history[0][1]
     assert metrics is not None and metrics["auc"] > 0.55, metrics
+
+def test_gatne_walk_cache_roundtrip(tmp_path):
+    """Walk corpus persists and reloads identically (reference
+    train_walks.txt caching, GATNE/utils/data_utils.py:171-207)."""
+    import numpy as np
+    from graphneuralnetwork_tpu.data.edgelist import load_multiplex
+    from graphneuralnetwork_tpu.models.gatne import (
+        GATNEConfig, _generate_walks)
+    data = load_multiplex(seed=0)
+    cfg = GATNEConfig(num_walks=2, walk_length=5, seed=0,
+                      cache_dir=str(tmp_path))
+    w1 = _generate_walks(data, cfg, np.random.default_rng(0))
+    # second call with a DIFFERENT rng must hit the cache -> identical walks
+    w2 = _generate_walks(data, cfg, np.random.default_rng(99))
+    for ty in data.edge_types:
+        np.testing.assert_array_equal(w1[ty], w2[ty])

@@ -93,3 +93,28 @@ def test_restore_missing_checkpoint_raises(tmp_path, cora):
                                jax.random.PRNGKey(0), optax.adam(1e-2))
     with pytest.raises(FileNotFoundError):
         restore_checkpoint(str(tmp_path / "nope"), state)
+
+def test_scan_fit_checkpoint_and_resume(tmp_path, cora):
+    """--resume parity: a second fit with resume=True starts from the saved
+    checkpoint (is_current_train, GTN/train_utils/train_eval.py:22-25)."""
+    import optax
+    from graphneuralnetwork_tpu.train.scan_loop import (
+        fit_node_classifier_scan)
+    data = cora
+    model = GCN(hidden=8, num_classes=data.num_classes, dropout=0.0)
+    ck = str(tmp_path / "ck")
+    res1 = fit_node_classifier_scan(
+        model, data, epochs=40, optimizer=optax.adam(1e-2),
+        epochs_per_call=20, seed=0, checkpoint_dir=ck)
+    import os
+    assert os.path.exists(os.path.join(ck, "checkpoint.msgpack"))
+    # resumed run must start at least as good as the saved best val loss
+    res2 = fit_node_classifier_scan(
+        model, data, epochs=20, optimizer=optax.adam(1e-2),
+        epochs_per_call=20, seed=1, checkpoint_dir=ck, resume=True)
+    assert res2.best_val_loss <= res1.best_val_loss * 1.5
+    # fresh run from a different seed should NOT silently reuse the ckpt
+    res3 = fit_node_classifier_scan(
+        model, data, epochs=20, optimizer=optax.adam(1e-2),
+        epochs_per_call=20, seed=2)
+    assert res3.epochs_run == 20
