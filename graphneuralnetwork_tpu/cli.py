@@ -51,6 +51,10 @@ def main(argv=None):
                          "(reference is_current_train, "
                          "GTN/train_utils/train_eval.py:22-25)")
     ap.add_argument("--quiet", action="store_true")
+    ap.add_argument("--dtype", choices=["float32", "bfloat16"],
+                    default="float32",
+                    help="compute dtype for gcn/gat/graphsage (params stay "
+                         "f32; bfloat16 = native MXU rate)")
     args = ap.parse_args(argv)
 
     # Multi-host: init the runtime (no-op single-process) and restrict
@@ -70,18 +74,22 @@ def main(argv=None):
         from .nn import GAT, GCN
         from .train.scan_loop import fit_node_classifier_scan
 
+        import jax.numpy as jnp
+        cdtype = jnp.bfloat16 if args.dtype == "bfloat16" else None
+
         data = load_cora(root=args.dataset, seed=args.seed)
         if name == "gcn":
             # GCN/run.py:7-11: lr=2e-3, wd=5e-4, hidden=128, dropout=0.5,
             # 4000 epochs
             model = GCN(hidden=128, num_classes=data.num_classes,
-                        dropout=0.5)
+                        dropout=0.5, dtype=cdtype)
             epochs = args.epochs or 4000
             opt = optax.adamw(2e-3, weight_decay=5e-4)
         else:
             # GAT/run.py:8-9: lr=1e-2, hidden=8, heads=8, dropout=0.6
             model = GAT(hidden=8, num_heads=8,
-                        num_classes=data.num_classes, dropout=0.6)
+                        num_classes=data.num_classes, dropout=0.6,
+                        dtype=cdtype)
             epochs = args.epochs or 1000
             opt = optax.adamw(1e-2, weight_decay=5e-4)
         res = fit_node_classifier_scan(

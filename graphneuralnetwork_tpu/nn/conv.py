@@ -39,22 +39,30 @@ from ..ops.spmm import spmm, spmm_weighted
 class GCNConv(nn.Module):
     """out = spmm(Â, X·W) + b with Â the pre-normalised adjacency
     (weights built by core.graph.gcn_graph). Mirrors Graph_conv_layer
-    (GCN/GCN.py:30-52)."""
+    (GCN/GCN.py:30-52).
+
+    ``dtype`` sets the compute dtype (mixed precision): params stay f32,
+    the dense matmul and the SpMM run in ``dtype`` (bf16 = native MXU rate,
+    single-dot aggregation kernel) with f32 accumulation inside both.
+    """
 
     features: int
     use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
     kernel_init: Callable = nn.initializers.glorot_uniform()
 
     @nn.compact
     def __call__(self, graph: Graph, x: jax.Array) -> jax.Array:
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         support = nn.Dense(
             self.features, use_bias=False, kernel_init=self.kernel_init,
-            name="linear")(x)
+            dtype=self.dtype, name="linear")(x)
         out = spmm(graph, support)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros,
-                              (self.features,), x.dtype)
-            out = out + bias
+                              (self.features,), jnp.float32)
+            out = out + bias.astype(out.dtype)
         return out
 
 
@@ -75,26 +83,34 @@ class GATConv(nn.Module):
     negative_slope: float = 0.2   # LeakyReLU alpha (GAT/run.py:8-9)
     attn_dropout: float = 0.0
     deterministic: bool = True
+    dtype: Optional[jnp.dtype] = None   # compute dtype; params stay f32
     kernel_init: Callable = nn.initializers.glorot_uniform()
 
     @nn.compact
     def __call__(self, graph: Graph, x: jax.Array) -> jax.Array:
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         h = nn.Dense(self.features * self.num_heads, use_bias=False,
-                     kernel_init=self.kernel_init, name="linear")(x)
+                     kernel_init=self.kernel_init, dtype=self.dtype,
+                     name="linear")(x)
         h = h.reshape(x.shape[0], self.num_heads, self.features)
 
         a_src = self.param("attn_src", nn.initializers.glorot_uniform(),
-                           (self.num_heads, self.features), x.dtype)
+                           (self.num_heads, self.features), jnp.float32)
         a_dst = self.param("attn_dst", nn.initializers.glorot_uniform(),
-                           (self.num_heads, self.features), x.dtype)
-        # Per-node attention logits: [N, H]
-        f_src = jnp.einsum("nhf,hf->nh", h, a_src)
-        f_dst = jnp.einsum("nhf,hf->nh", h, a_dst)
+                           (self.num_heads, self.features), jnp.float32)
+        # Per-node attention logits [N, H] — computed in f32 regardless of
+        # compute dtype: softmax logits are precision-sensitive and this
+        # tensor is F× smaller than the features.
+        hf = h.astype(jnp.float32)
+        f_src = jnp.einsum("nhf,hf->nh", hf, a_src)
+        f_dst = jnp.einsum("nhf,hf->nh", hf, a_dst)
 
         # Edge scores [E, H]: sender contributes f_src, receiver f_dst.
         scores = f_src[graph.senders] + f_dst[graph.receivers]
         scores = nn.leaky_relu(scores, self.negative_slope)
         alpha = edge_softmax(graph, scores)
+        alpha = alpha.astype(h.dtype)
         if self.attn_dropout > 0.0 and not self.deterministic:
             alpha = nn.Dropout(rate=self.attn_dropout, deterministic=False)(
                 alpha)
@@ -119,10 +135,13 @@ class SAGEConv(nn.Module):
     aggregator: str = "mean"     # 'mean' | 'sum' | 'max'
     combine: str = "sum"         # 'sum' | 'concat'
     use_bias: bool = False
+    dtype: Optional[jnp.dtype] = None   # compute dtype; params stay f32
     activation: Optional[Callable] = None
 
     @nn.compact
     def __call__(self, graph: Graph, x: jax.Array) -> jax.Array:
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         msgs = x[graph.senders]
         if self.aggregator == "mean":
             agg = segment_mean(msgs, graph.receivers, graph.n_nodes,
@@ -137,9 +156,9 @@ class SAGEConv(nn.Module):
             raise ValueError(f"unknown aggregator {self.aggregator!r}")
 
         neigh = nn.Dense(self.features, use_bias=self.use_bias,
-                         name="neighbor")(agg)
+                         dtype=self.dtype, name="neighbor")(agg)
         self_h = nn.Dense(self.features, use_bias=self.use_bias,
-                          name="self")(x)
+                          dtype=self.dtype, name="self")(x)
         if self.combine == "sum":
             out = neigh + self_h
         elif self.combine == "concat":

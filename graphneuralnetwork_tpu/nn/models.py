@@ -13,27 +13,34 @@ Each mirrors a reference model's architecture and defaults:
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 import flax.linen as nn
 import jax
+import jax.numpy as jnp
 
 from ..core.graph import Graph
 from .conv import GATConv, GCNConv, SAGEConv
 
 
 class GCN(nn.Module):
+    """``dtype=jnp.bfloat16`` runs the convs in mixed precision (f32 params,
+    bf16 matmuls/SpMM with f32 accumulation); logits return as f32."""
+
     hidden: int = 128
     num_classes: int = 7
     dropout: float = 0.5
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, graph: Graph, x: jax.Array, *,
                  deterministic: bool = True) -> jax.Array:
-        h = GCNConv(self.hidden, name="conv1")(graph, x)
+        h = GCNConv(self.hidden, dtype=self.dtype, name="conv1")(graph, x)
         h = nn.relu(h)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        return GCNConv(self.num_classes, name="conv2")(graph, h)
+        out = GCNConv(self.num_classes, dtype=self.dtype,
+                      name="conv2")(graph, h)
+        return out.astype(jnp.float32)
 
 
 class GAT(nn.Module):
@@ -42,6 +49,7 @@ class GAT(nn.Module):
     num_heads: int = 8
     dropout: float = 0.6
     negative_slope: float = 0.2
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, graph: Graph, x: jax.Array, *,
@@ -50,14 +58,15 @@ class GAT(nn.Module):
         h = GATConv(self.hidden, num_heads=self.num_heads,
                     concat_heads=True,
                     negative_slope=self.negative_slope,
-                    attn_dropout=self.dropout,
+                    attn_dropout=self.dropout, dtype=self.dtype,
                     deterministic=deterministic, name="attn1")(graph, x)
         h = nn.elu(h)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        return GATConv(self.num_classes, num_heads=1, concat_heads=False,
-                       negative_slope=self.negative_slope,
-                       attn_dropout=self.dropout,
-                       deterministic=deterministic, name="attn_out")(graph, h)
+        out = GATConv(self.num_classes, num_heads=1, concat_heads=False,
+                      negative_slope=self.negative_slope,
+                      attn_dropout=self.dropout, dtype=self.dtype,
+                      deterministic=deterministic, name="attn_out")(graph, h)
+        return out.astype(jnp.float32)
 
 
 class GraphSAGE(nn.Module):
@@ -67,13 +76,15 @@ class GraphSAGE(nn.Module):
     hidden_dims: Sequence[int] = (128,)
     num_classes: int = 3
     aggregator: str = "mean"
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, graph: Graph, x: jax.Array, *,
                  deterministic: bool = True) -> jax.Array:
         h = x
         for i, d in enumerate(self.hidden_dims):
-            h = SAGEConv(d, aggregator=self.aggregator,
+            h = SAGEConv(d, aggregator=self.aggregator, dtype=self.dtype,
                          activation=nn.relu, name=f"sage{i}")(graph, h)
-        return SAGEConv(self.num_classes, aggregator=self.aggregator,
-                        name="sage_out")(graph, h)
+        out = SAGEConv(self.num_classes, aggregator=self.aggregator,
+                       dtype=self.dtype, name="sage_out")(graph, h)
+        return out.astype(jnp.float32)

@@ -118,3 +118,26 @@ def test_scan_fit_checkpoint_and_resume(tmp_path, cora):
         model, data, epochs=20, optimizer=optax.adam(1e-2),
         epochs_per_call=20, seed=2)
     assert res3.epochs_run == 20
+
+def test_gcn_mixed_precision_close_and_trains(cora):
+    """bf16 compute path: forward stays close to f32 and training still
+    learns (f32 params, bf16 matmul/SpMM, f32 logits)."""
+    import jax.numpy as jnp
+    import optax
+    data = cora
+    m32 = GCN(hidden=16, num_classes=data.num_classes, dropout=0.0)
+    mbf = GCN(hidden=16, num_classes=data.num_classes, dropout=0.0,
+              dtype=jnp.bfloat16)
+    params = m32.init(jax.random.PRNGKey(0), data.graph,
+                      data.features)["params"]
+    y32 = m32.apply({"params": params}, data.graph, data.features)
+    ybf = mbf.apply({"params": params}, data.graph, data.features)
+    assert ybf.dtype == jnp.float32
+    denom = np.maximum(np.abs(np.asarray(y32)), 1e-2)
+    rel = np.abs(np.asarray(ybf) - np.asarray(y32)) / denom
+    assert np.median(rel) < 0.05, float(np.median(rel))
+
+    res = fit_node_classifier(
+        mbf, data, epochs=200, optimizer=optax.adamw(2e-2),
+        eval_every=40, patience=5, seed=0)
+    assert res.test_acc > 0.5, res
