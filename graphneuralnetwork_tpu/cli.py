@@ -53,8 +53,8 @@ def main(argv=None):
     ap.add_argument("--quiet", action="store_true")
     ap.add_argument("--dtype", choices=["float32", "bfloat16"],
                     default="float32",
-                    help="compute dtype for gcn/gat/graphsage (params stay "
-                         "f32; bfloat16 = native MXU rate)")
+                    help="compute dtype for gcn/gat/graphsage/han/gtn "
+                         "(params stay f32; bfloat16 = native MXU rate)")
     args = ap.parse_args(argv)
 
     # Multi-host: init the runtime (no-op single-process) and restrict
@@ -126,7 +126,9 @@ def main(argv=None):
 
         data = load_acm_han(path=args.dataset, seed=args.seed)
         model = HAN(num_metapaths=len(data.graphs),
-                    num_classes=data.num_classes, hidden=8, num_heads=(4,))
+                    num_classes=data.num_classes, hidden=8, num_heads=(4,),
+                    dtype=(jnp.bfloat16 if args.dtype == "bfloat16"
+                           else None))
         epochs = args.epochs or 100
         params = model.init(jax.random.PRNGKey(args.seed), data.graphs,
                             data.features)["params"]
@@ -166,7 +168,9 @@ def main(argv=None):
 
         data = load_acm_gtn(path=args.dataset, seed=args.seed)
         model = GTN(num_classes=data.num_classes, channels=2,
-                    num_layers=2, hidden=64)
+                    num_layers=2, hidden=64,
+                    dtype=(jnp.bfloat16 if args.dtype == "bfloat16"
+                           else None))
         epochs = args.epochs or 40
         params = model.init(jax.random.PRNGKey(args.seed), data.adj,
                             data.features)["params"]

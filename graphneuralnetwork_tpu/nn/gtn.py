@@ -28,16 +28,19 @@ import jax.numpy as jnp
 
 
 def _row_normalize(h: jax.Array, add_eye: bool = True) -> jax.Array:
-    """D⁻¹(H [+ I]) per channel; h: [C, N, N] (GTN/models/GTN.py:7-19)."""
+    """D⁻¹(H [+ I]) per channel; h: [C, N, N] (GTN/models/GTN.py:7-19).
+    Row sums accumulate in f32 even for bf16 adjacencies."""
     if add_eye:
         h = h + jnp.eye(h.shape[-1], dtype=h.dtype)[None]
-    deg = jnp.sum(h, axis=-1, keepdims=True)
-    return h / jnp.maximum(deg, 1e-12)
+    deg = jnp.sum(h.astype(jnp.float32), axis=-1, keepdims=True)
+    return (h.astype(jnp.float32) / jnp.maximum(deg, 1e-12)).astype(h.dtype)
 
 
 class GTConv(nn.Module):
     """Per-channel softmax-weighted sum over edge-type slices:
-    out[c] = Σ_t softmax(w)[c, t] · A[t]  (GTN/models/GTConv.py:6-26)."""
+    out[c] = Σ_t softmax(w)[c, t] · A[t]  (GTN/models/GTConv.py:6-26).
+    Mixing weights and softmax are f32; the mixed adjacency is returned in
+    the input dtype so downstream compositions ride the MXU at that rate."""
 
     channels: int
 
@@ -46,14 +49,15 @@ class GTConv(nn.Module):
         # a: [T, N, N]
         t = a.shape[0]
         w = self.param("weight", nn.initializers.normal(0.1),
-                       (self.channels, t), a.dtype)
-        mix = jax.nn.softmax(w, axis=-1)
-        return jnp.einsum("ct,tnm->cnm", mix, a)
+                       (self.channels, t), jnp.float32)
+        mix = jax.nn.softmax(w, axis=-1).astype(a.dtype)
+        return jnp.einsum("ct,tnm->cnm", mix, a,
+                          preferred_element_type=jnp.float32).astype(a.dtype)
 
 
 class GTLayer(nn.Module):
     """first=True: H = GTConv1(A) @ GTConv2(A); else: H_prev_norm @ GTConv(A)
-    (GTN/models/GTLayer.py:7-32)."""
+    (GTN/models/GTLayer.py:7-32). Compositions accumulate in f32."""
 
     channels: int
     first: bool = True
@@ -63,9 +67,13 @@ class GTLayer(nn.Module):
         if self.first:
             q1 = GTConv(self.channels, name="conv1")(a)
             q2 = GTConv(self.channels, name="conv2")(a)
-            return jnp.einsum("cnk,ckm->cnm", q1, q2)
+            return jnp.einsum(
+                "cnk,ckm->cnm", q1, q2,
+                preferred_element_type=jnp.float32).astype(a.dtype)
         q = GTConv(self.channels, name="conv1")(a)
-        return jnp.einsum("cnk,ckm->cnm", _row_normalize(h_prev), q)
+        return jnp.einsum(
+            "cnk,ckm->cnm", _row_normalize(h_prev), q,
+            preferred_element_type=jnp.float32).astype(a.dtype)
 
 
 class GTN(nn.Module):
@@ -80,6 +88,11 @@ class GTN(nn.Module):
     channels: int = 2
     num_layers: int = 2
     hidden: int = 64
+    # Compute dtype for the dense N×N composition chains — the most
+    # MXU-intensive op in the framework; bf16 runs them at native rate.
+    # Softmax mixing and row normalisation stay f32 (tiny tensors, and the
+    # adjacency compositions accumulate in f32 via preferred_element_type).
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, a: jax.Array, x: jax.Array,
@@ -87,6 +100,9 @@ class GTN(nn.Module):
                  return_weights: bool = False):
         # a: [T, N, N] stacked edge-type adjacencies (+identity slice
         # appended by the loader, GTN/utils/data_utils.py:148)
+        if self.dtype is not None:
+            a = a.astype(self.dtype)
+            x = x.astype(self.dtype)
         h = GTLayer(self.channels, first=True, name="gt0")(a)
         for i in range(1, self.num_layers):
             h = GTLayer(self.channels, first=False, name=f"gt{i}")(a, h)
@@ -94,15 +110,17 @@ class GTN(nn.Module):
         # per-channel GCN conv with SHARED weight (GTN.py:49-52,78-83):
         # gcn_conv(X, H_c) = norm(H_c)ᵀ... reference: norm(H,add=True) then
         # H_cᵀ? — GTN.py:49-52 does X@W then (norm-ed H)·(X@W).
-        xw = nn.Dense(self.hidden, use_bias=False, name="gcn_w")(x)
+        xw = nn.Dense(self.hidden, use_bias=False, dtype=self.dtype,
+                      name="gcn_w")(x)
         hn = _row_normalize(h)                        # [C, N, N]
-        z = jnp.einsum("cnm,mf->cnf", hn, xw)         # [C, N, hidden]
-        z = nn.relu(z)
+        z = jnp.einsum("cnm,mf->cnf", hn, xw,
+                       preferred_element_type=jnp.float32)  # [C, N, hidden]
+        z = nn.relu(z).astype(xw.dtype)
         z = jnp.transpose(z, (1, 0, 2)).reshape(x.shape[0], -1)  # concat
 
-        out = nn.Dense(self.hidden, name="linear1")(z)
+        out = nn.Dense(self.hidden, dtype=self.dtype, name="linear1")(z)
         out = nn.relu(out)
-        logits = nn.Dense(self.num_classes, name="linear2")(out)
-        if return_weights:
-            return logits, h
-        return logits
+        logits = nn.Dense(self.num_classes, dtype=self.dtype,
+                          name="linear2")(out)
+        return ((logits.astype(jnp.float32), h) if return_weights
+                else logits.astype(jnp.float32))

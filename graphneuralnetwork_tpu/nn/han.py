@@ -10,7 +10,7 @@ pre-composed on host (core/hetero.py), e.g. PAP/PLP for ACM
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 import flax.linen as nn
 import jax
@@ -29,9 +29,12 @@ class SemanticAttention(nn.Module):
     @nn.compact
     def __call__(self, z: jax.Array) -> jax.Array:
         # z: [P, N, F] stacked per-metapath embeddings
+        # Semantic attention runs in f32 regardless of the compute dtype:
+        # P×N×H is small and the softmax is precision-sensitive.
+        z = z.astype(jnp.float32)
         w = nn.Dense(self.hidden, name="proj")(z)          # [P, N, H]
         q = self.param("q", nn.initializers.glorot_uniform(),
-                       (self.hidden, 1), z.dtype)
+                       (self.hidden, 1), jnp.float32)
         scores = jnp.tanh(w) @ q                           # [P, N, 1]
         beta = jax.nn.softmax(scores.mean(axis=1), axis=0)  # [P, 1]
         return jnp.sum(beta[:, None, :] * z, axis=0)        # [N, F]
@@ -46,6 +49,7 @@ class HANLayer(nn.Module):
     num_heads: int = 4
     dropout: float = 0.6
     deterministic: bool = True
+    dtype: Optional[jnp.dtype] = None   # compute dtype; params stay f32
 
     @nn.compact
     def __call__(self, graphs: Sequence[Graph], x: jax.Array) -> jax.Array:
@@ -54,7 +58,7 @@ class HANLayer(nn.Module):
         for p, g in enumerate(graphs):
             z = GATConv(self.features, num_heads=self.num_heads,
                         concat_heads=True, attn_dropout=self.dropout,
-                        deterministic=self.deterministic,
+                        deterministic=self.deterministic, dtype=self.dtype,
                         name=f"gat_mp{p}")(g, x)
             zs.append(nn.elu(z))
         z = jnp.stack(zs, axis=0)  # [P, N, heads*F]
@@ -70,6 +74,7 @@ class HAN(nn.Module):
     hidden: int = 8
     num_heads: Sequence[int] = (4,)
     dropout: float = 0.6
+    dtype: Optional[jnp.dtype] = None   # compute dtype; params stay f32
 
     @nn.compact
     def __call__(self, graphs: Sequence[Graph], x: jax.Array, *,
@@ -78,6 +83,8 @@ class HAN(nn.Module):
         for i, heads in enumerate(self.num_heads):
             h = HANLayer(self.num_metapaths, self.hidden, num_heads=heads,
                          dropout=self.dropout, deterministic=deterministic,
-                         name=f"layer{i}")(graphs, h)
+                         dtype=self.dtype, name=f"layer{i}")(graphs, h)
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        return nn.Dense(self.num_classes, name="classify")(h)
+        out = nn.Dense(self.num_classes, dtype=self.dtype,
+                       name="classify")(h)
+        return out.astype(jnp.float32)

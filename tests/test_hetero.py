@@ -135,3 +135,33 @@ def test_gtn_return_weights():
                             return_weights=True)
     n = data.features.shape[0]
     assert h.shape == (2, n, n)
+
+def test_gtn_han_mixed_precision_close():
+    """bf16 compute in GTN (dense MXU chains) and HAN stays close to f32."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from graphneuralnetwork_tpu.data import load_acm_gtn, load_acm_han
+    from graphneuralnetwork_tpu.nn import GTN, HAN
+
+    d = load_acm_gtn(seed=0)
+    m32 = GTN(num_classes=d.num_classes, channels=2, num_layers=2, hidden=16)
+    mbf = GTN(num_classes=d.num_classes, channels=2, num_layers=2, hidden=16,
+              dtype=jnp.bfloat16)
+    p = m32.init(jax.random.PRNGKey(0), d.adj, d.features)["params"]
+    y32 = np.asarray(m32.apply({"params": p}, d.adj, d.features))
+    ybf = np.asarray(mbf.apply({"params": p}, d.adj, d.features))
+    assert ybf.dtype == np.float32
+    rel = np.abs(ybf - y32) / np.maximum(np.abs(y32), 1e-2)
+    assert np.median(rel) < 0.06, float(np.median(rel))
+
+    dh = load_acm_han(seed=0)
+    h32 = HAN(num_metapaths=len(dh.graphs), num_classes=dh.num_classes,
+              hidden=8, num_heads=(4,))
+    hbf = HAN(num_metapaths=len(dh.graphs), num_classes=dh.num_classes,
+              hidden=8, num_heads=(4,), dtype=jnp.bfloat16)
+    ph = h32.init(jax.random.PRNGKey(0), dh.graphs, dh.features)["params"]
+    z32 = np.asarray(h32.apply({"params": ph}, dh.graphs, dh.features))
+    zbf = np.asarray(hbf.apply({"params": ph}, dh.graphs, dh.features))
+    rel = np.abs(zbf - z32) / np.maximum(np.abs(z32), 1e-2)
+    assert np.median(rel) < 0.06, float(np.median(rel))
