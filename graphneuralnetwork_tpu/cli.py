@@ -135,23 +135,34 @@ def main(argv=None):
         tx = optax.adamw(5e-3)
         opt_state = tx.init(params)
 
-        @jax.jit
-        def step(params, opt_state):
-            def loss_fn(p):
-                logits = model.apply({"params": p}, data.graphs,
-                                     data.features)
-                sel = logits[data.train_idx]
-                return -jax.nn.log_softmax(sel)[
-                    jnp.arange(sel.shape[0]),
-                    data.labels[data.train_idx]].mean()
-            loss, grads = jax.value_and_grad(loss_fn)(params)
-            upd, opt_state = tx.update(grads, opt_state, params)
-            return optax.apply_updates(params, upd), opt_state, loss
+        def loss_fn(p):
+            logits = model.apply({"params": p}, data.graphs, data.features)
+            sel = logits[data.train_idx]
+            return -jax.nn.log_softmax(sel)[
+                jnp.arange(sel.shape[0]),
+                data.labels[data.train_idx]].mean()
 
-        for e in range(epochs):
-            params, opt_state, loss = step(params, opt_state)
-            if verbose and (e + 1) % 20 == 0:
-                print(f"epoch {e+1}: loss {float(loss):.4f}")
+        # Whole epoch blocks in one dispatch (scan_loop rationale: ~30ms
+        # per dispatch through a remote tunnel dwarfs the step itself).
+        chunk = min(20, epochs)
+
+        @jax.jit
+        def run_chunk(params, opt_state):
+            def body(carry, _):
+                params, opt_state = carry
+                loss, grads = jax.value_and_grad(loss_fn)(params)
+                upd, opt_state = tx.update(grads, opt_state, params)
+                return (optax.apply_updates(params, upd), opt_state), loss
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), None, length=chunk)
+            return params, opt_state, losses
+
+        done = 0
+        while done < epochs:
+            params, opt_state, losses = run_chunk(params, opt_state)
+            done += chunk
+            if verbose:
+                print(f"epoch {done}: loss {float(losses[-1]):.4f}")
         logits = model.apply({"params": params}, data.graphs, data.features)
         import numpy as np
         pred = np.argmax(np.asarray(logits)[np.asarray(data.test_idx)], -1)
@@ -186,22 +197,32 @@ def main(argv=None):
         opt_state = tx.init(params)
         tgt = data.target_idx
 
-        @jax.jit
-        def step(params, opt_state):
-            def loss_fn(p):
-                logits = model.apply({"params": p}, data.adj, data.features)
-                sel = logits[tgt][data.train_idx]
-                return -jax.nn.log_softmax(sel)[
-                    jnp.arange(sel.shape[0]),
-                    data.labels[data.train_idx]].mean()
-            loss, grads = jax.value_and_grad(loss_fn)(params)
-            upd, opt_state = tx.update(grads, opt_state, params)
-            return optax.apply_updates(params, upd), opt_state, loss
+        def loss_fn(p):
+            logits = model.apply({"params": p}, data.adj, data.features)
+            sel = logits[tgt][data.train_idx]
+            return -jax.nn.log_softmax(sel)[
+                jnp.arange(sel.shape[0]),
+                data.labels[data.train_idx]].mean()
 
-        for e in range(epochs):
-            params, opt_state, loss = step(params, opt_state)
-            if verbose and (e + 1) % 10 == 0:
-                print(f"epoch {e+1}: loss {float(loss):.4f}")
+        chunk = min(10, epochs)
+
+        @jax.jit
+        def run_chunk(params, opt_state):
+            def body(carry, _):
+                params, opt_state = carry
+                loss, grads = jax.value_and_grad(loss_fn)(params)
+                upd, opt_state = tx.update(grads, opt_state, params)
+                return (optax.apply_updates(params, upd), opt_state), loss
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), None, length=chunk)
+            return params, opt_state, losses
+
+        done = 0
+        while done < epochs:
+            params, opt_state, losses = run_chunk(params, opt_state)
+            done += chunk
+            if verbose:
+                print(f"epoch {done}: loss {float(losses[-1]):.4f}")
         logits = model.apply({"params": params}, data.adj, data.features)
         from .train.metrics import precision_recall_fbeta
         sel = logits[tgt][data.test_idx]

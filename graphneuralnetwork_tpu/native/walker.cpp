@@ -151,3 +151,126 @@ int num_threads() {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Struc2vec structural distances (the O(n log n · DTW) host hot loop).
+//
+// The reference computes these with joblib worker processes and a
+// pure-python fastdtw (GraphEmbedding/Struc2Vec/utils/graph_utils.py:103-121,
+// 161-162; utils/fastdtw.py:5-104). Here: OpenMP over candidate pairs with a
+// full O(la*lb) DTW using the struc2vec cost max(a,b)/min(a,b) - 1.
+// ---------------------------------------------------------------------------
+
+#include <algorithm>
+#include <cmath>
+#include <vector>
+
+namespace {
+
+// Sorted degree sequence of nodes at each hop distance <= k_max from v.
+void bfs_rings(const int64_t* indptr, const int32_t* indices,
+               int64_t n_nodes, int64_t v, int64_t k_max,
+               std::vector<std::vector<int64_t>>* rings,
+               std::vector<int32_t>* visit_mark, int32_t stamp) {
+  rings->clear();
+  std::vector<int64_t> frontier{v};
+  (*visit_mark)[v] = stamp;
+  {
+    std::vector<int64_t> r0{indptr[v + 1] - indptr[v]};
+    rings->push_back(std::move(r0));
+  }
+  for (int64_t k = 0; k < k_max; ++k) {
+    std::vector<int64_t> next;
+    for (int64_t u : frontier) {
+      for (int64_t e = indptr[u]; e < indptr[u + 1]; ++e) {
+        int64_t w = indices[e];
+        if ((*visit_mark)[w] != stamp) {
+          (*visit_mark)[w] = stamp;
+          next.push_back(w);
+        }
+      }
+    }
+    if (next.empty()) break;
+    std::vector<int64_t> degs;
+    degs.reserve(next.size());
+    for (int64_t w : next) degs.push_back(indptr[w + 1] - indptr[w]);
+    std::sort(degs.begin(), degs.end());
+    rings->push_back(std::move(degs));
+    frontier = std::move(next);
+  }
+}
+
+// Full DTW with cost max/min - 1 (matches sampling/struc2vec.py
+// dtw_distance and the reference fastdtw dist semantics).
+double dtw(const std::vector<int64_t>& a, const std::vector<int64_t>& b,
+           std::vector<double>* prev_row, std::vector<double>* cur_row) {
+  const size_t la = a.size(), lb = b.size();
+  if (la == 0 || lb == 0)
+    return la == lb ? 0.0 : (double)std::max(la, lb);
+  const double inf = 1e300;
+  prev_row->assign(lb + 1, inf);
+  (*prev_row)[0] = 0.0;
+  cur_row->assign(lb + 1, inf);
+  for (size_t i = 1; i <= la; ++i) {
+    (*cur_row)[0] = inf;
+    const double av = (double)a[i - 1];
+    for (size_t j = 1; j <= lb; ++j) {
+      const double bv = (double)b[j - 1];
+      const double big = av > bv ? av : bv;
+      double small = av < bv ? av : bv;
+      if (small < 1e-12) small = 1e-12;
+      const double c = big / small - 1.0;
+      const double m = std::min({(*prev_row)[j], (*cur_row)[j - 1],
+                                 (*prev_row)[j - 1]});
+      (*cur_row)[j] = c + m;
+    }
+    std::swap(*prev_row, *cur_row);
+  }
+  return (*prev_row)[lb];
+}
+
+}  // namespace
+
+extern "C" {
+
+// For each pair p = (pu[p], pv[p]): out_f[p*(k_max+1)+k] = cumulative DTW
+// distance through ring layer k; out_layers[p] = number of valid layers
+// (= min ring count of the two endpoints, capped at k_max+1).
+void struc2vec_pair_distances(const int64_t* indptr, const int32_t* indices,
+                              int64_t n_nodes, int64_t k_max,
+                              const int32_t* pu, const int32_t* pv,
+                              int64_t n_pairs, double* out_f,
+                              int32_t* out_layers) {
+  // Precompute rings for every node once (parallel).
+  std::vector<std::vector<std::vector<int64_t>>> all_rings(n_nodes);
+#pragma omp parallel
+  {
+    std::vector<int32_t> mark(n_nodes, -1);
+#pragma omp for schedule(dynamic, 64)
+    for (int64_t v = 0; v < n_nodes; ++v) {
+      bfs_rings(indptr, indices, n_nodes, v, k_max, &all_rings[v], &mark,
+                (int32_t)v);
+    }
+  }
+  const int64_t stride = k_max + 1;
+#pragma omp parallel
+  {
+    std::vector<double> row_a, row_b;
+#pragma omp for schedule(dynamic, 32)
+    for (int64_t p = 0; p < n_pairs; ++p) {
+      const auto& ra = all_rings[pu[p]];
+      const auto& rb = all_rings[pv[p]];
+      int64_t kk = (int64_t)std::min(ra.size(), rb.size());
+      if (kk > stride) kk = stride;
+      double acc = 0.0;
+      for (int64_t k = 0; k < kk; ++k) {
+        acc += dtw(ra[k], rb[k], &row_a, &row_b);
+        out_f[p * stride + k] = acc;
+      }
+      for (int64_t k = kk; k < stride; ++k) out_f[p * stride + k] = -1.0;
+      out_layers[p] = (int32_t)kk;
+    }
+  }
+}
+
+}  // extern "C"

@@ -63,6 +63,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
                                        U64, I32]
         lib.sample_neighbors.argtypes = [I64, I32, I64, ctypes.c_int64,
                                          ctypes.c_int64, U64, I32]
+        F64 = ctypes.POINTER(ctypes.c_double)
+        lib.struc2vec_pair_distances.argtypes = [
+            I64, I32, ctypes.c_int64, ctypes.c_int64, I32, I32,
+            ctypes.c_int64, F64, I32]
         lib.num_threads.restype = ctypes.c_int
         _LIB = lib
         return _LIB
@@ -107,6 +111,30 @@ def alias_walks_native(indptr, indices, accept, alias, starts, length: int,
                     _p(starts, ctypes.c_int64), len(starts), length,
                     seed & 0xFFFFFFFFFFFFFFFF, _p(out, ctypes.c_int32))
     return out
+
+
+def struc2vec_distances_native(indptr, indices, n_nodes: int, k_max: int,
+                               pu, pv) -> Optional[tuple]:
+    """Cumulative per-layer DTW distances for candidate pairs.
+
+    Returns (f [P, k_max+1] float64 with −1 past the valid layers,
+    n_layers [P] int32), or None without the native lib.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    indptr = np.ascontiguousarray(indptr, np.int64)
+    indices = np.ascontiguousarray(indices, np.int32)
+    pu = np.ascontiguousarray(pu, np.int32)
+    pv = np.ascontiguousarray(pv, np.int32)
+    P = len(pu)
+    f = np.empty((P, k_max + 1), np.float64)
+    nl = np.empty(P, np.int32)
+    lib.struc2vec_pair_distances(
+        _p(indptr, ctypes.c_int64), _p(indices, ctypes.c_int32),
+        n_nodes, k_max, _p(pu, ctypes.c_int32), _p(pv, ctypes.c_int32),
+        P, _p(f, ctypes.c_double), _p(nl, ctypes.c_int32))
+    return f, nl
 
 
 def sample_neighbors_native(indptr, indices, nodes, fanout: int,

@@ -87,30 +87,53 @@ def build_multilayer_graph(
     indptr, indices, n_nodes: int, *,
     k_max: int = 3, n_candidates: int | None = None,
 ) -> List[Dict[int, List[Tuple[int, float]]]]:
-    """layers[k][u] = [(v, w_k)] with w_k = exp(−f_k(u,v))."""
+    """layers[k][u] = [(v, w_k)] with w_k = exp(−f_k(u,v)).
+
+    The per-pair BFS-ring DTW distances — the reference's joblib-parallel
+    hot loop (Struc2Vec/utils/graph_utils.py:103-121,161-162) — run in the
+    native C++ OpenMP engine when available, with this numpy/Python path as
+    the portable fallback (identical cost function; verified by test).
+    """
     if n_candidates is None:
         n_candidates = max(int(2 * np.log2(max(n_nodes, 2))), 2)
     deg = (indptr[1:] - indptr[:-1]).astype(np.int64)
-    rings = degree_rings(indptr, indices, n_nodes, k_max)
     cands = degree_candidates(deg, n_candidates)
 
-    layers: List[Dict[int, List[Tuple[int, float]]]] = [
-        {v: [] for v in range(n_nodes)} for _ in range(k_max + 1)]
-    dist_cache: Dict[Tuple[int, int], List[float]] = {}
+    # unique candidate pairs (a < b)
+    pair_set = set()
     for u in range(n_nodes):
         for v in cands[u]:
             v = int(v)
-            a, b = (u, v) if u < v else (v, u)
-            if (a, b) in dist_cache:
-                f = dist_cache[(a, b)]
-            else:
-                f = []
-                acc = 0.0
-                kk = min(len(rings[a]), len(rings[b]))
-                for k in range(kk):
-                    acc += dtw_distance(rings[a][k], rings[b][k])
-                    f.append(acc)
-                dist_cache[(a, b)] = f
+            pair_set.add((u, v) if u < v else (v, u))
+    pairs = np.array(sorted(pair_set), np.int32).reshape(-1, 2)
+
+    from .native import struc2vec_distances_native
+    native = (struc2vec_distances_native(
+        indptr, indices, n_nodes, k_max, pairs[:, 0], pairs[:, 1])
+        if len(pairs) else None)
+    dist_cache: Dict[Tuple[int, int], List[float]] = {}
+    if native is not None:
+        f_mat, n_layers = native
+        for p, (a, b) in enumerate(map(tuple, pairs)):
+            dist_cache[(int(a), int(b))] = [
+                float(f_mat[p, k]) for k in range(int(n_layers[p]))]
+    else:
+        rings = degree_rings(indptr, indices, n_nodes, k_max)
+        for a, b in map(tuple, pairs):
+            f = []
+            acc = 0.0
+            kk = min(len(rings[a]), len(rings[b]))
+            for k in range(kk):
+                acc += dtw_distance(rings[a][k], rings[b][k])
+                f.append(acc)
+            dist_cache[(int(a), int(b))] = f
+
+    layers: List[Dict[int, List[Tuple[int, float]]]] = [
+        {v: [] for v in range(n_nodes)} for _ in range(k_max + 1)]
+    for u in range(n_nodes):
+        for v in cands[u]:
+            v = int(v)
+            f = dist_cache[(u, v) if u < v else (v, u)]
             for k in range(min(len(f), k_max + 1)):
                 layers[k][u].append((v, float(np.exp(-f[k]))))
     return layers

@@ -69,3 +69,35 @@ def test_python_wrappers_use_native(csr, rng):
     assert w.shape == (n, 5)
     nb = sample_neighbors(np.arange(10), 4, indptr, indices, rng)
     assert nb.shape == (40,)
+
+def test_struc2vec_native_matches_python():
+    """Native OpenMP DTW distances match the numpy/Python fallback."""
+    import numpy as np
+    from graphneuralnetwork_tpu.sampling import csr_from_edges
+    from graphneuralnetwork_tpu.sampling.native import (
+        available, struc2vec_distances_native)
+    from graphneuralnetwork_tpu.sampling.struc2vec import (
+        degree_rings, dtw_distance)
+    if not available():
+        import pytest
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(0)
+    n, e = 60, 240
+    s = rng.integers(0, n, e)
+    r = rng.integers(0, n, e)
+    ss = np.concatenate([s, r])
+    rr = np.concatenate([r, s])
+    indptr, indices, _ = csr_from_edges(ss, rr, n)
+    k_max = 3
+    pu = rng.integers(0, n, 50).astype(np.int32)
+    pv = rng.integers(0, n, 50).astype(np.int32)
+    f, nl = struc2vec_distances_native(indptr, indices, n, k_max, pu, pv)
+    rings = degree_rings(indptr, indices, n, k_max)
+    for p in range(len(pu)):
+        a, b = int(pu[p]), int(pv[p])
+        kk = min(len(rings[a]), len(rings[b]), k_max + 1)
+        assert nl[p] == kk, (p, nl[p], kk)
+        acc = 0.0
+        for k in range(kk):
+            acc += dtw_distance(rings[a][k], rings[b][k])
+            np.testing.assert_allclose(f[p, k], acc, rtol=1e-9)
