@@ -26,21 +26,52 @@ class EdgeListData:
     vocab: Optional[Vocab] = None
 
 
+def _vocab_from_int_tokens(a: np.ndarray, b: np.ndarray) -> tuple:
+    """Rebuild the exact Vocab ordering (freq desc, first-occurrence ties —
+    Counter insertion order under Python's stable sort) from integer token
+    arrays, vectorised. Returns (vocab, ids_a, ids_b)."""
+    toks = np.empty(2 * len(a), np.int64)
+    toks[0::2], toks[1::2] = a, b
+    uniq, first_idx, counts = np.unique(
+        toks, return_index=True, return_counts=True)
+    order = np.lexsort((first_idx, -counts))
+    vocab = Vocab()
+    vocab.token_freqs = [(str(int(uniq[o])), int(counts[o])) for o in order]
+    for t, _ in vocab.token_freqs:
+        vocab.token_to_idx[t] = len(vocab.idx_to_token)
+        vocab.idx_to_token.append(t)
+    rank_to_id = np.empty(len(uniq), np.int32)
+    rank_to_id[order] = np.arange(1, len(uniq) + 1, dtype=np.int32)  # 0=<UNK>
+    ids = rank_to_id[np.searchsorted(uniq, toks)]
+    return vocab, ids[0::2], ids[1::2]
+
+
 def read_edgelist(path: str, weighted: bool = False,
                   directed: bool = False) -> EdgeListData:
-    """Whitespace edgelist with string node names → contiguous ids."""
-    tokens: List[Tuple[str, str, float]] = []
-    with open(path) as f:
-        for line in f:
-            parts = line.split()
-            if len(parts) < 2:
-                continue
-            w = float(parts[2]) if (weighted and len(parts) > 2) else 1.0
-            tokens.append((parts[0], parts[1], w))
-    vocab = Vocab([t for a, b, _ in tokens for t in (a, b)])
-    s = np.array([vocab[a] for a, _, _ in tokens], np.int32)
-    r = np.array([vocab[b] for _, b, _ in tokens], np.int32)
-    w = np.array([x for _, _, x in tokens], np.float32)
+    """Whitespace edgelist with string node names → contiguous ids.
+
+    Numeric files take the native C++ parser fast path
+    (native/walker.cpp:parse_numeric_edgelist) with a vectorised vocab
+    rebuild; string tokens or a missing toolchain fall back to the Python
+    path. Both produce identical ids (verified by test)."""
+    from ..sampling.native import parse_edgelist_native
+    parsed = parse_edgelist_native(path, weighted=weighted)
+    if parsed is not None:
+        pa, pb, w = parsed
+        vocab, s, r = _vocab_from_int_tokens(pa, pb)
+    else:
+        tokens: List[Tuple[str, str, float]] = []
+        with open(path) as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) < 2:
+                    continue
+                wv = float(parts[2]) if (weighted and len(parts) > 2) else 1.0
+                tokens.append((parts[0], parts[1], wv))
+        vocab = Vocab([t for a, b, _ in tokens for t in (a, b)])
+        s = np.array([vocab[a] for a, _, _ in tokens], np.int32)
+        r = np.array([vocab[b] for _, b, _ in tokens], np.int32)
+        w = np.array([x for _, _, x in tokens], np.float32)
     if not directed:
         s, r, w = (np.concatenate([s, r]), np.concatenate([r, s]),
                    np.concatenate([w, w]))

@@ -12,6 +12,7 @@
 // a given seed regardless of thread count.
 
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 
 #if defined(_OPENMP)
@@ -232,6 +233,86 @@ double dtw(const std::vector<int64_t>& a, const std::vector<int64_t>& b,
 }  // namespace
 
 extern "C" {
+
+// Fast path for the edgelist data loader (data/edgelist.py): parse a
+// whitespace "src dst [weight]" text buffer. Tokens must be CANONICAL
+// integers (optional '-', no leading zeros) so that the Python-side string
+// vocab reconstructed via str(int) matches the slow path byte-for-byte;
+// any other token returns -1 and the caller falls back to Python.
+// Lines with fewer than two tokens are skipped (same as the Python path).
+// Returns the number of edges parsed.
+int64_t parse_numeric_edgelist(const char* buf, int64_t len, int weighted,
+                               int64_t* src, int64_t* dst, float* w) {
+  int64_t n = 0;
+  int64_t i = 0;
+  auto skip_ws = [&](bool stop_at_nl) {
+    while (i < len && (buf[i] == ' ' || buf[i] == '\t' || buf[i] == '\r' ||
+                       (!stop_at_nl && buf[i] == '\n')))
+      ++i;
+  };
+  auto parse_int = [&](int64_t* out) -> int {
+    // returns 1 ok, 0 bad token, -1 end-of-line/buffer
+    skip_ws(true);
+    if (i >= len || buf[i] == '\n') return -1;
+    int64_t start = i;
+    bool neg = false;
+    if (buf[i] == '-') { neg = true; ++i; }
+    int64_t digits_start = i;
+    int64_t v = 0;
+    while (i < len && buf[i] >= '0' && buf[i] <= '9') {
+      v = v * 10 + (buf[i] - '0');
+      ++i;
+    }
+    int64_t ndig = i - digits_start;
+    if (ndig == 0) { i = start; return 0; }
+    // canonical: no leading zero unless the token is exactly "0"
+    if (ndig > 1 && buf[digits_start] == '0') { i = start; return 0; }
+    if (neg && v == 0) { i = start; return 0; }  // "-0" not canonical
+    // token must end at whitespace/newline/EOF
+    if (i < len && buf[i] != ' ' && buf[i] != '\t' && buf[i] != '\r' &&
+        buf[i] != '\n')
+      { i = start; return 0; }
+    *out = neg ? -v : v;
+    return 1;
+  };
+  while (i < len) {
+    skip_ws(false);
+    if (i >= len) break;
+    int64_t a, b;
+    int ra = parse_int(&a);
+    if (ra == 0) return -1;
+    if (ra == -1) { if (i < len) ++i; continue; }
+    int rb = parse_int(&b);
+    if (rb == 0) return -1;
+    if (rb == -1) {  // single-token line: skip (Python path: len<2 skip)
+      if (i < len) ++i;
+      continue;
+    }
+    float wv = 1.0f;
+    if (weighted) {
+      skip_ws(true);
+      if (i < len && buf[i] != '\n') {
+        char* endp = nullptr;
+        wv = strtof(buf + i, &endp);
+        if (endp == buf + i) return -1;
+        i = endp - buf;
+      }
+    }
+    // discard the rest of the line
+    while (i < len && buf[i] != '\n') {
+      if (buf[i] != ' ' && buf[i] != '\t' && buf[i] != '\r' && !weighted) {
+        // extra tokens are allowed (Python ignores them) — but they must
+        // not contain anything? Python ignores regardless; just skip.
+      }
+      ++i;
+    }
+    src[n] = a;
+    dst[n] = b;
+    w[n] = wv;
+    ++n;
+  }
+  return n;
+}
 
 // For each pair p = (pu[p], pv[p]): out_f[p*(k_max+1)+k] = cumulative DTW
 // distance through ring layer k; out_layers[p] = number of valid layers

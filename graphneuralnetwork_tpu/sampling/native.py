@@ -67,6 +67,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.struc2vec_pair_distances.argtypes = [
             I64, I32, ctypes.c_int64, ctypes.c_int64, I32, I32,
             ctypes.c_int64, F64, I32]
+        lib.parse_numeric_edgelist.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int, I64, I64, F32]
+        lib.parse_numeric_edgelist.restype = ctypes.c_int64
         lib.num_threads.restype = ctypes.c_int
         _LIB = lib
         return _LIB
@@ -135,6 +138,32 @@ def struc2vec_distances_native(indptr, indices, n_nodes: int, k_max: int,
         n_nodes, k_max, _p(pu, ctypes.c_int32), _p(pv, ctypes.c_int32),
         P, _p(f, ctypes.c_double), _p(nl, ctypes.c_int32))
     return f, nl
+
+
+def parse_edgelist_native(path: str, weighted: bool = False
+                          ) -> Optional[tuple]:
+    """C++ fast path for numeric whitespace edgelists.
+
+    Returns (src int64[E], dst int64[E], w float32[E]) or None when the
+    native lib is unavailable or the file contains non-canonical-integer
+    tokens (the caller falls back to the Python string-vocab path).
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    with open(path, "rb") as f:
+        buf = f.read()
+    max_edges = buf.count(b"\n") + 1
+    src = np.empty(max_edges, np.int64)
+    dst = np.empty(max_edges, np.int64)
+    w = np.empty(max_edges, np.float32)
+    n = lib.parse_numeric_edgelist(
+        buf, len(buf), 1 if weighted else 0,
+        _p(src, ctypes.c_int64), _p(dst, ctypes.c_int64),
+        _p(w, ctypes.c_float))
+    if n < 0:
+        return None
+    return src[:n], dst[:n], w[:n]
 
 
 def sample_neighbors_native(indptr, indices, nodes, fanout: int,

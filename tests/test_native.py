@@ -101,3 +101,47 @@ def test_struc2vec_native_matches_python():
         for k in range(kk):
             acc += dtw_distance(rings[a][k], rings[b][k])
             np.testing.assert_allclose(f[p, k], acc, rtol=1e-9)
+
+def test_native_edgelist_parser_matches_python(tmp_path):
+    """Numeric edgelists: native C++ parser produces the identical vocab
+    and id arrays as the Python string path; non-numeric falls back."""
+    import numpy as np
+    import graphneuralnetwork_tpu.sampling.native as nat
+    from graphneuralnetwork_tpu.data.edgelist import read_edgelist
+    if not nat.available():
+        import pytest
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(0)
+    p = tmp_path / "g.txt"
+    lines = []
+    for _ in range(500):
+        a, b = rng.integers(0, 80, 2)
+        lines.append(f"{a} {b} {rng.random():.4f}")
+    lines.insert(3, "")          # blank line skipped
+    lines.insert(7, "42")        # single-token line skipped
+    p.write_text("\n".join(lines) + "\n")
+
+    d_native = read_edgelist(str(p), weighted=True)
+    orig = nat.parse_edgelist_native
+    nat.parse_edgelist_native = lambda *a, **k: None
+    try:
+        d_py = read_edgelist(str(p), weighted=True)
+    finally:
+        nat.parse_edgelist_native = orig
+    assert d_native.n_nodes == d_py.n_nodes
+    np.testing.assert_array_equal(d_native.senders, d_py.senders)
+    np.testing.assert_array_equal(d_native.receivers, d_py.receivers)
+    np.testing.assert_allclose(d_native.weights, d_py.weights, rtol=1e-6)
+    assert d_native.vocab.idx_to_token == d_py.vocab.idx_to_token
+
+    # string tokens -> native returns None, Python path used, still works
+    p2 = tmp_path / "s.txt"
+    p2.write_text("alpha beta\nbeta gamma\nalpha gamma\n")
+    assert nat.parse_edgelist_native(str(p2)) is None
+    d = read_edgelist(str(p2))
+    assert d.n_nodes == 4  # 3 tokens + <UNK>
+
+    # leading zeros are non-canonical -> fallback, ids still consistent
+    p3 = tmp_path / "z.txt"
+    p3.write_text("01 2\n2 3\n")
+    assert nat.parse_edgelist_native(str(p3)) is None
