@@ -77,7 +77,10 @@ def main(argv=None):
         import jax.numpy as jnp
         cdtype = jnp.bfloat16 if args.dtype == "bfloat16" else None
 
-        data = load_cora(root=args.dataset, seed=args.seed)
+        if args.dataset in ("cora", "citeseer"):   # named synthetic preset
+            data = load_cora(name=args.dataset, seed=args.seed)
+        else:
+            data = load_cora(root=args.dataset, seed=args.seed)
         if name == "gcn":
             # GCN/run.py:7-11: lr=2e-3, wd=5e-4, hidden=128, dropout=0.5,
             # 4000 epochs
@@ -124,7 +127,11 @@ def main(argv=None):
         import jax
         import jax.numpy as jnp
 
-        data = load_acm_han(path=args.dataset, seed=args.seed)
+        if args.dataset == "imdb":
+            from .data import load_imdb_han
+            data = load_imdb_han(seed=args.seed)
+        else:
+            data = load_acm_han(path=args.dataset, seed=args.seed)
         model = HAN(num_metapaths=len(data.graphs),
                     num_classes=data.num_classes, hidden=8, num_heads=(4,),
                     dtype=(jnp.bfloat16 if args.dtype == "bfloat16"
@@ -177,7 +184,11 @@ def main(argv=None):
         import jax.numpy as jnp
         import numpy as np
 
-        data = load_acm_gtn(path=args.dataset, seed=args.seed)
+        if args.dataset == "imdb":
+            from .data import load_imdb_gtn
+            data = load_imdb_gtn(seed=args.seed)
+        else:
+            data = load_acm_gtn(path=args.dataset, seed=args.seed)
         model = GTN(num_classes=data.num_classes, channels=2,
                     num_layers=2, hidden=64,
                     dtype=(jnp.bfloat16 if args.dtype == "bfloat16"

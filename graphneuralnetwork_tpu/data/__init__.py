@@ -3,10 +3,13 @@ from .acm import (  # noqa: F401
     StackedAdjData,
     load_acm_gtn,
     load_acm_han,
+    load_imdb_gtn,
+    load_imdb_han,
     synthetic_acm,
 )
 from .planetoid import (  # noqa: F401
     NodeClassificationData,
+    load_citeseer,
     load_cora,
     synthetic_citation_graph,
 )

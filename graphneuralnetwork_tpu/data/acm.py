@@ -170,13 +170,57 @@ def load_acm_han(path: str | None = None, seed: int = 0) -> HeteroNodeData:
     )
 
 
+def _load_gtn_pickle(path: str, seed: int, per_class_train: int,
+                     per_class_val: int) -> StackedAdjData:
+    """Read the reference's processed train.pkl — a tuple (paper_idx,
+    paper_target, edges [scipy sparse per edge type over the union node
+    set], node_feature) (GTN/utils/data_utils.py:130-139) — and build the
+    [T, N, N]+identity stack with per-class splits (:117-126)."""
+    import pickle
+
+    with open(path, "rb") as f:
+        paper_idx, paper_target, edges, node_feature = pickle.load(f)
+    n = edges[0].shape[0]
+    slices = [np.asarray(e.todense(), np.float32) for e in edges]
+    slices.append(np.eye(n, dtype=np.float32))
+    adj = np.stack(slices, axis=0)
+    labels = np.asarray(paper_target, np.int32)
+    feats = np.asarray(node_feature, np.float32)
+
+    rng = np.random.default_rng(seed)
+    num_classes = int(labels.max()) + 1
+    train, val, test = [], [], []
+    for c in range(num_classes):
+        idx = np.flatnonzero(labels == c)
+        rng.shuffle(idx)
+        k1 = min(per_class_train, max(len(idx) - 2, 1))
+        k2 = min(per_class_val, max(len(idx) - k1 - 1, 0))
+        train.extend(idx[:k1])
+        val.extend(idx[k1:k1 + k2])
+        test.extend(idx[k1 + k2:])
+    return StackedAdjData(
+        adj=jnp.asarray(adj),
+        features=jnp.asarray(row_normalize_features(feats)),
+        labels=jnp.asarray(labels),
+        target_idx=jnp.arange(len(labels), dtype=jnp.int32),
+        train_idx=jnp.asarray(np.array(sorted(train), np.int32)),
+        val_idx=jnp.asarray(np.array(sorted(val), np.int32)),
+        test_idx=jnp.asarray(np.array(sorted(test), np.int32)),
+        num_classes=num_classes,
+    )
+
+
 def load_acm_gtn(path: str | None = None, seed: int = 0,
                  per_class_train: int = 200,
                  per_class_val: int = 100) -> StackedAdjData:
     """GTN input: dense [T, N, N] with slices PA, AP, PL, LP + identity over
     the union node set (GTN/utils/data_utils.py:129-150), 200/100-per-class
-    splits (:117-126)."""
+    splits (:117-126). ``path`` may be the reference's processed train.pkl
+    or the raw ACM.mat."""
     if path is not None and os.path.exists(path):
+        if path.endswith(".pkl"):
+            return _load_gtn_pickle(path, seed, per_class_train,
+                                    per_class_val)
         hg, feats, labels = _load_acm_mat(path)
     else:
         hg, feats, labels = synthetic_acm(seed=seed)
@@ -230,3 +274,45 @@ def load_acm_gtn(path: str | None = None, seed: int = 0,
         test_idx=jnp.asarray(np.array(sorted(test), np.int32)),
         num_classes=num_classes,
     )
+
+
+def load_imdb_han(path: str | None = None, seed: int = 0) -> HeteroNodeData:
+    """IMDB for HAN: MAM + MDM metapath graphs over movies.
+
+    Structurally isomorphic to ACM (movie=paper, actor=author,
+    director=subject); real IMDB .mat files are not distributed with the
+    reference, so absent a path this synthesises IMDB-shaped data
+    (3 classes: action/comedy/drama)."""
+    if path is not None and os.path.exists(path):
+        hg, feats, labels = _load_acm_mat(path)
+    else:
+        hg, feats, labels = synthetic_acm(
+            n_papers=900, n_authors=500, n_subjects=60, n_feats=128,
+            n_classes=3, seed=seed)
+    mam = hg.metapath_graph(
+        [("paper", "pa", "author"), ("author", "ap", "paper")])
+    mdm = hg.metapath_graph(
+        [("paper", "pl", "subject"), ("subject", "lp", "paper")])
+    n = feats.shape[0]
+    rng = np.random.default_rng(seed)
+    u = rng.random(n)
+    return HeteroNodeData(
+        graphs=[mam, mdm],
+        features=jnp.asarray(row_normalize_features(feats)),
+        labels=jnp.asarray(labels),
+        train_idx=jnp.asarray(np.flatnonzero(u <= 0.2).astype(np.int32)),
+        val_idx=jnp.asarray(
+            np.flatnonzero((u > 0.2) & (u <= 0.3)).astype(np.int32)),
+        test_idx=jnp.asarray(np.flatnonzero(u > 0.3).astype(np.int32)),
+        num_classes=int(labels.max()) + 1,
+    )
+
+
+def load_imdb_gtn(path: str | None = None, seed: int = 0) -> StackedAdjData:
+    """IMDB for GTN: [T, N, N] stack (MA/AM/MD/DM + identity) with
+    per-class splits; accepts the reference's processed train.pkl."""
+    if path is not None and os.path.exists(path) and path.endswith(".pkl"):
+        return _load_gtn_pickle(path, seed, 300, 300)
+    # synthetic IMDB shares the ACM union-graph construction
+    return load_acm_gtn(path=None, seed=seed + 1000,
+                        per_class_train=300, per_class_val=300)

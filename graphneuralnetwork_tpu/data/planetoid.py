@@ -93,9 +93,18 @@ def _read_content_cites(root: str, name: str):
     return feats, labels, edges[:, 0], edges[:, 1]
 
 
+#: Synthetic-fallback shapes per dataset name (real shapes of the public
+#: planetoid datasets; the north-star accuracy targets name cora/citeseer).
+_SHAPES = {
+    "cora": dict(n_nodes=2708, n_feats=1433, n_classes=7),
+    "citeseer": dict(n_nodes=3327, n_feats=3703, n_classes=6),
+}
+
+
 def load_cora(root: str | None = None, name: str = "cora",
               seed: int = 0) -> NodeClassificationData:
-    """Load Cora (or compatible .content/.cites dataset), else synthesise.
+    """Load Cora/Citeseer (or compatible .content/.cites dataset), else
+    synthesise at the named dataset's exact shape.
 
     Split indices follow GCN/data_utils.py:80-82 exactly.
     """
@@ -103,7 +112,8 @@ def load_cora(root: str | None = None, name: str = "cora",
             os.path.join(root, f"{name}.content")):
         feats, labels, s, r = _read_content_cites(root, name)
     else:
-        feats, labels, s, r = synthetic_citation_graph(seed=seed)
+        feats, labels, s, r = synthetic_citation_graph(
+            seed=seed, **_SHAPES.get(name, _SHAPES["cora"]))
 
     n = feats.shape[0]
     graph = gcn_graph(s, r, n)
@@ -119,3 +129,9 @@ def load_cora(root: str | None = None, name: str = "cora",
         num_classes=num_classes,
         raw_senders=s, raw_receivers=r,
     )
+
+
+def load_citeseer(root: str | None = None,
+                  seed: int = 0) -> NodeClassificationData:
+    """Citeseer via the same .content/.cites pipeline (north-star dataset)."""
+    return load_cora(root=root, name="citeseer", seed=seed)

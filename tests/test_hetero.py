@@ -165,3 +165,37 @@ def test_gtn_han_mixed_precision_close():
     zbf = np.asarray(hbf.apply({"params": ph}, dh.graphs, dh.features))
     rel = np.abs(zbf - z32) / np.maximum(np.abs(z32), 1e-2)
     assert np.median(rel) < 0.06, float(np.median(rel))
+
+def test_gtn_pickle_loader_roundtrip(tmp_path):
+    """The reference's processed train.pkl format loads correctly
+    (GTN/utils/data_utils.py:130-139)."""
+    import pickle
+    import numpy as np
+    from scipy import sparse
+    from graphneuralnetwork_tpu.data import load_acm_gtn
+    rng = np.random.default_rng(0)
+    n, n_papers = 40, 25
+    edges = [sparse.csr_matrix(
+        (rng.random((n, n)) < 0.1).astype(np.float32)) for _ in range(4)]
+    target = rng.integers(0, 3, n_papers).astype(np.int64)
+    feats = rng.random((n, 16)).astype(np.float32)
+    p = tmp_path / "train.pkl"
+    with open(p, "wb") as f:
+        pickle.dump((np.arange(n_papers), target, edges, feats), f)
+    d = load_acm_gtn(path=str(p), seed=0, per_class_train=3,
+                     per_class_val=2)
+    assert d.adj.shape == (5, n, n)          # 4 types + identity
+    assert float(d.adj[-1].sum()) == n       # identity slice
+    assert d.num_classes == 3
+    assert len(d.labels) == n_papers
+
+
+def test_named_dataset_presets():
+    from graphneuralnetwork_tpu.data import (
+        load_citeseer, load_imdb_gtn, load_imdb_han)
+    d = load_citeseer(seed=0)
+    assert d.features.shape == (3327, 3703) and d.num_classes == 6
+    h = load_imdb_han(seed=0)
+    assert len(h.graphs) == 2 and h.num_classes == 3
+    g = load_imdb_gtn(seed=0)
+    assert g.adj.shape[0] == 5
