@@ -17,3 +17,9 @@ from .multihost import (  # noqa: F401
     make_mesh,
     process_count,
 )
+from .tp import (  # noqa: F401
+    apply_tp,
+    gcn_param_shardings,
+    make_tp_mesh,
+    shard_rows,
+)
