@@ -36,9 +36,9 @@ def main(argv=None):
     ap = argparse.ArgumentParser(
         description="TPU-native GNN framework trainer")
     ap.add_argument("--model", required=True, choices=[
-        "gcn", "gat", "graphsage", "graphsage_unsup", "han", "gtn",
-        "deepwalk", "node2vec", "line", "struc2vec", "sdne",
-        "metapath2vec", "gatne", "bine"])
+        "gcn", "gat", "graphsage", "graphsage_unsup", "han", "han_batch",
+        "gtn", "deepwalk", "node2vec", "line", "struc2vec", "sdne",
+        "metapath2vec", "gatne", "bine", "basis"])
     ap.add_argument("--dataset", default=None,
                     help="dataset path (falls back to synthetic)")
     ap.add_argument("--epochs", type=int, default=None)
@@ -176,6 +176,36 @@ def main(argv=None):
         acc = float((pred == np.asarray(
             data.labels)[np.asarray(data.test_idx)]).mean())
         result = dict(test_acc=acc)
+
+    elif name == "han_batch":
+        # HAN node-minibatch mode (reference is_batch=True: batch=32 dense
+        # sub-adjacencies, SGD lr=0.05 + warmup-poly, eval every 20 batches
+        # — HAN/utils/data_utils.py:92-123, train_eval.py:29-96).
+        from .data import load_acm_han
+        from .train.han_batch import fit_han_minibatch
+        import jax.numpy as jnp
+
+        if args.dataset == "imdb":
+            from .data import load_imdb_han
+            data = load_imdb_han(seed=args.seed)
+        else:
+            data = load_acm_han(path=args.dataset, seed=args.seed)
+        overrides = dict(kv.split("=", 1) for kv in (args.set or []))
+        res = fit_han_minibatch(
+            data,
+            batch_size=int(overrides.get("batch_size", 32)),
+            lr=float(overrides.get("lr", 0.05)),
+            epochs=args.epochs or 100,
+            patience=int(overrides.get("patience", 20)),
+            seed=args.seed, verbose=verbose,
+            dtype=(jnp.bfloat16 if args.dtype == "bfloat16" else None))
+        result = dict(test_acc=res.test_acc, val_acc=res.best_val_acc,
+                      batches=res.epochs_run, seconds=res.seconds)
+
+    elif name == "basis":
+        # The reference's Basis/networkx_study.py centrality walkthrough.
+        from .analysis.demo import basis_demo
+        result = basis_demo()
 
     elif name == "gtn":
         from .data import load_acm_gtn

@@ -123,6 +123,63 @@ class GATConv(nn.Module):
         return out.mean(axis=1)
 
 
+class DenseGATConv(nn.Module):
+    """The reference GAT's *dense* attention path (GAT/models/layers.py:6-40):
+    materialise the full [H, N, N] score matrix, mask non-edges to -9e15
+    (:28-30), softmax over senders, then aggregate with a batched matmul
+    (MXU). Useful when the (sub)graph is small and dense — e.g. HAN's
+    node-minibatch mode, where each batch is a B×B sub-adjacency
+    (HAN/utils/data_utils.py:92-101).
+
+    ``adj`` is receiver-row convention: ``adj[i, j] != 0`` ⇔ edge j→i, the
+    same orientation as the reference's ``torch.where(adj > 0, e, -9e15)``
+    + ``attention @ h``. Parameter names match ``GATConv`` so weights are
+    interchangeable between the sparse and dense paths (tested).
+    """
+
+    features: int
+    num_heads: int = 8
+    concat_heads: bool = True
+    negative_slope: float = 0.2
+    attn_dropout: float = 0.0
+    deterministic: bool = True
+    dtype: Optional[jnp.dtype] = None
+    kernel_init: Callable = nn.initializers.glorot_uniform()
+
+    @nn.compact
+    def __call__(self, adj: jax.Array, x: jax.Array) -> jax.Array:
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        n = x.shape[0]
+        h = nn.Dense(self.features * self.num_heads, use_bias=False,
+                     kernel_init=self.kernel_init, dtype=self.dtype,
+                     name="linear")(x)
+        h = h.reshape(n, self.num_heads, self.features)
+
+        a_src = self.param("attn_src", nn.initializers.glorot_uniform(),
+                           (self.num_heads, self.features), jnp.float32)
+        a_dst = self.param("attn_dst", nn.initializers.glorot_uniform(),
+                           (self.num_heads, self.features), jnp.float32)
+        hf = h.astype(jnp.float32)
+        f_src = jnp.einsum("nhf,hf->nh", hf, a_src)   # sender logit
+        f_dst = jnp.einsum("nhf,hf->nh", hf, a_dst)   # receiver logit
+
+        # e[h, i, j] = LeakyReLU(f_src[j] + f_dst[i]) for edge j→i.
+        e = f_dst.T[:, :, None] + f_src.T[:, None, :]       # [H, N, N]
+        e = nn.leaky_relu(e, self.negative_slope)
+        mask = (adj != 0)[None, :, :]
+        e = jnp.where(mask, e, -9e15)                        # :28-30
+        alpha = jax.nn.softmax(e, axis=-1)
+        if self.attn_dropout > 0.0 and not self.deterministic:
+            alpha = nn.Dropout(rate=self.attn_dropout,
+                               deterministic=False)(alpha)
+        alpha = alpha.astype(h.dtype)
+        out = jnp.einsum("hij,jhf->ihf", alpha, h)           # attention @ h
+        if self.concat_heads:
+            return out.reshape(n, self.num_heads * self.features)
+        return out.mean(axis=1)
+
+
 class SAGEConv(nn.Module):
     """GraphSAGE convolution (full-graph form).
 

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.graph import Graph
-from .conv import GATConv
+from .conv import DenseGATConv, GATConv
 
 
 class SemanticAttention(nn.Module):
@@ -63,6 +63,61 @@ class HANLayer(nn.Module):
             zs.append(nn.elu(z))
         z = jnp.stack(zs, axis=0)  # [P, N, heads*F]
         return SemanticAttention(name="semantic")(z)
+
+
+class DenseHANLayer(nn.Module):
+    """HANLayer over *dense* metapath sub-adjacencies [P, B, B] — the form
+    HAN's node-minibatch mode feeds (each batch slices ``HG_adj[idx][:, idx]``,
+    HAN/utils/data_utils.py:92-101). Node-level attention is DenseGATConv;
+    semantic attention is shared with the sparse path."""
+
+    num_metapaths: int
+    features: int
+    num_heads: int = 4
+    dropout: float = 0.6
+    deterministic: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, adjs: jax.Array, x: jax.Array) -> jax.Array:
+        assert adjs.shape[0] == self.num_metapaths
+        zs = []
+        for p in range(self.num_metapaths):
+            z = DenseGATConv(self.features, num_heads=self.num_heads,
+                             concat_heads=True, attn_dropout=self.dropout,
+                             deterministic=self.deterministic,
+                             dtype=self.dtype, name=f"gat_mp{p}")(adjs[p], x)
+            zs.append(nn.elu(z))
+        z = jnp.stack(zs, axis=0)
+        return SemanticAttention(name="semantic")(z)
+
+
+class DenseHAN(nn.Module):
+    """HAN over dense metapath adjacencies — the node-minibatch form
+    (HAN/run.py batch mode; train_batch at HAN/train_utils/train_eval.py:29-96).
+    Same architecture/hyperparameters as ``HAN``; input is [P, B, B] + [B, F].
+    """
+
+    num_metapaths: int
+    num_classes: int
+    hidden: int = 8
+    num_heads: Sequence[int] = (4,)
+    dropout: float = 0.6
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, adjs: jax.Array, x: jax.Array, *,
+                 deterministic: bool = True) -> jax.Array:
+        h = x
+        for i, heads in enumerate(self.num_heads):
+            h = DenseHANLayer(self.num_metapaths, self.hidden,
+                              num_heads=heads, dropout=self.dropout,
+                              deterministic=deterministic, dtype=self.dtype,
+                              name=f"layer{i}")(adjs, h)
+            h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        out = nn.Dense(self.num_classes, dtype=self.dtype,
+                       name="classify")(h)
+        return out.astype(jnp.float32)
 
 
 class HAN(nn.Module):

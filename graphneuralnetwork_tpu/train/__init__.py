@@ -15,6 +15,7 @@ from .metrics import (  # noqa: F401
     masked_softmax_cross_entropy,
     precision_recall_fbeta,
 )
+from .han_batch import fit_han_minibatch  # noqa: F401
 from .schedule import warmup_poly_schedule  # noqa: F401
 from .scan_loop import (  # noqa: F401
     fit_node_classifier_scan,
