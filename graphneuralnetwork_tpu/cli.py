@@ -316,7 +316,16 @@ def main(argv=None):
             WalkEmbedConfig(window=4, num_negatives=4, batch_size=512,
                             epochs=args.epochs or 5, seed=args.seed),
             args.set)
-        emb, history = run_metapath2vec(cfg=cfg)
+        if args.dataset is not None:
+            # JData pipeline (MetaPath2Vec/run.py:29-32: data_procession →
+            # read_JData → metapath walks); --dataset = processed dir.
+            from .data.jdata import load_jdata
+            jd = load_jdata(args.dataset, seed=args.seed)
+            emb, history = run_metapath2vec(
+                hetero=jd.hetero, metapath=jd.metapath,
+                type_offsets=jd.type_offsets, cfg=cfg)
+        else:
+            emb, history = run_metapath2vec(cfg=cfg)
         result = dict(final_loss=history[-1][1], embed_shape=emb.shape)
 
     elif name == "gatne":
