@@ -298,13 +298,18 @@ def run_metapath2vec(hetero=None, metapath=None, type_offsets=None,
     walks = walks_local.astype(np.int64) + offs[None, :]
     n_total = sum(hetero.node_counts[t] for t in type_offsets)
 
-    if typed_negatives:
-        # typed negatives: draw within each context's type by masking the
-        # frequency table per type and resampling
-        pass  # handled below by per-type weights in one table
+    token_types = None
+    if typed_negatives and len(type_offsets) == 2:
+        # 'ultra' mode: alternate user/item negatives per pair
+        # (get_negative_ultra, MetaPath2Vec/utils/data_utils.py:73-93).
+        # Global ids are laid out per type by type_offsets, so type = 1 for
+        # ids at/after the second type's offset.
+        second_off = sorted(type_offsets.values())[1]
+        token_types = (np.arange(n_total) >= second_off).astype(np.int64)
     arrays = skipgram_dataset(
         walks, n_total, window=cfg.window,
-        num_negatives=cfg.num_negatives, rng=rng)
+        num_negatives=cfg.num_negatives, rng=rng,
+        token_types=token_types)
     model = SkipGram(vocab_size=n_total, embed_dim=cfg.embed_dim)
     params, history = train_skipgram(
         model, arrays, epochs=cfg.epochs, batch_size=cfg.batch_size,

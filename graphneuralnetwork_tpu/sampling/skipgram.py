@@ -106,6 +106,62 @@ class NegativeSampler:
         return out
 
 
+class TypedNegativeSampler:
+    """Alternating-type negatives for bipartite skip-gram — the 'ultra'
+    mode (get_negative_ultra, MetaPath2Vec/utils/data_utils.py:73-93).
+
+    Per (center, contexts) pair the noise words alternate between the two
+    node types, starting with the type *opposite* the last context token
+    (last ctx user → item, user, item, …), each type drawn from its own
+    freq^0.75 distribution with in-context rejection.
+    """
+
+    def __init__(self, weights: np.ndarray, token_types: np.ndarray,
+                 power: float = 0.75):
+        self.types = np.asarray(token_types, np.int64)
+        assert set(np.unique(self.types)) <= {0, 1}, "bipartite only"
+        w = np.asarray(weights, np.float64) ** power
+        self.ids = []
+        self.tables = []
+        for t in (0, 1):
+            ids = np.flatnonzero(self.types == t)
+            self.ids.append(ids)
+            self.tables.append(build_alias_table(np.maximum(w[ids], 1e-12)))
+
+    def _draw_all(self, shape, slot_types, rng):
+        out = np.zeros(shape, np.int64)
+        for t in (0, 1):
+            accept, alias = self.tables[t]
+            loc = sample_alias(accept, alias, rng, shape)
+            out = np.where(slot_types == t, self.ids[t][loc], out)
+        return out
+
+    def draw(self, contexts: np.ndarray, num_negatives: int,
+             rng: np.random.Generator) -> np.ndarray:
+        """contexts: [P, C] padded -1 → negatives [P, C*num_negatives]
+        (padded -1 beyond K*n_ctx per row)."""
+        P, C = contexts.shape
+        K = C * num_negatives
+        n_ctx = (contexts >= 0).sum(1)
+        # last valid context per row (rows with no context get slot 0)
+        last_pos = np.maximum(n_ctx - 1, 0)
+        last_ctx = contexts[np.arange(P), last_pos]
+        last_type = self.types[np.maximum(last_ctx, 0)]
+        # slot j type: alternation starts opposite the last context's type
+        j = np.arange(K)[None, :]
+        slot_types = (1 - last_type[:, None] + j) % 2
+        out = self._draw_all((P, K), slot_types, rng)
+        # reject in-context draws (a few vectorised passes)
+        for _ in range(3):
+            bad = (out[:, :, None] == contexts[:, None, :]).any(-1)
+            if not bad.any():
+                break
+            redraw = self._draw_all((P, K), slot_types, rng)
+            out = np.where(bad, redraw, out)
+        keep = j < (num_negatives * n_ctx)[:, None]
+        return np.where(keep, out, -1)
+
+
 def batchify(
     centers: np.ndarray, contexts: np.ndarray, negatives: np.ndarray,
 ):
@@ -130,15 +186,25 @@ def skipgram_dataset(
     rng: Optional[np.random.Generator] = None,
     subsample_t: Optional[float] = 1e-4,
     neg_weights: Optional[np.ndarray] = None,
+    token_types: Optional[np.ndarray] = None,
 ):
-    """walks → (centers, ctx_neg, labels, mask) full arrays."""
+    """walks → (centers, ctx_neg, labels, mask) full arrays.
+
+    ``token_types`` (int[n_tokens] of 0/1) switches negatives to the typed
+    alternating 'ultra' draw (get_negative_ultra,
+    MetaPath2Vec/utils/data_utils.py:73-93)."""
     rng = rng or np.random.default_rng(0)
     counts = token_frequencies(walks, n_tokens)
     sent = (subsample(walks, n_tokens, rng, subsample_t)
             if subsample_t else walks.astype(np.int64))
     centers, contexts = centers_and_contexts(sent, window, rng)
-    sampler = NegativeSampler(
-        neg_weights if neg_weights is not None else np.maximum(counts, 1))
+    weights = (neg_weights if neg_weights is not None
+               else np.maximum(counts, 1))
+    if token_types is not None:
+        typed = TypedNegativeSampler(weights, token_types)
+        negs = typed.draw(contexts, num_negatives, rng)
+        return batchify(centers, contexts, negs)
+    sampler = NegativeSampler(weights)
     P = len(centers)
     # per-pair negatives scaled by number of real contexts (reference draws
     # K per context token): K_total = num_negatives * valid contexts

@@ -137,3 +137,47 @@ def test_skipgram_dataset_shapes():
     assert set(np.unique(lab)) <= {0.0, 1.0}
     # labels only where mask is on
     assert (lab[mask == 0] == 0).all()
+
+
+def test_typed_negatives_alternate_types():
+    """'ultra' negatives alternate user/item starting opposite the last
+    context's type (get_negative_ultra, MetaPath2Vec/utils/data_utils.py:
+    73-93)."""
+    from graphneuralnetwork_tpu.sampling.skipgram import TypedNegativeSampler
+
+    rng = np.random.default_rng(0)
+    n_tokens = 20
+    types = (np.arange(n_tokens) >= 12).astype(np.int64)  # 12 users, 8 items
+    weights = np.ones(n_tokens)
+    sampler = TypedNegativeSampler(weights, types)
+
+    # row 0: last context is a user (type 0) → negatives start type 1
+    # row 1: last context is an item (type 1) → negatives start type 0
+    contexts = np.array([[3, 5, -1, -1],
+                         [2, 14, -1, -1]], np.int64)
+    negs = sampler.draw(contexts, num_negatives=2, rng=rng)
+    # 2 contexts * 2 negs = 4 valid slots per row
+    for row, start in ((0, 1), (1, 0)):
+        valid = negs[row][negs[row] >= 0]
+        assert len(valid) == 4
+        got = types[valid]
+        expect = [(start + j) % 2 for j in range(4)]
+        assert got.tolist() == expect, (row, got, expect)
+    # negatives never collide with the row's contexts
+    for row in range(2):
+        valid = negs[row][negs[row] >= 0]
+        assert not set(valid.tolist()) & set(
+            contexts[row][contexts[row] >= 0].tolist())
+
+
+def test_skipgram_dataset_typed_path_runs():
+    from graphneuralnetwork_tpu.sampling.skipgram import skipgram_dataset
+
+    rng = np.random.default_rng(1)
+    walks = rng.integers(0, 10, (30, 8))
+    types = (np.arange(10) >= 6).astype(np.int64)
+    centers, ctx_neg, labels, mask = skipgram_dataset(
+        walks, 10, window=2, num_negatives=2, rng=rng,
+        subsample_t=None, token_types=types)
+    assert centers.ndim == 1 and ctx_neg.shape[0] == len(centers)
+    assert ((labels == 0) | (labels == 1)).all()
