@@ -1,0 +1,118 @@
+"""Multi-chip GAT attention over the halo-partitioned graph.
+
+The attention analogue of spmm_halo (parallel/halo.py): with receiver-owned
+(owner-computes) edge partitioning, the segment softmax over each node's
+incoming edges is **entirely local** — every edge of a receiver lives on
+its owner shard — so a full GAT layer costs exactly ONE all_to_all:
+
+  1. per shard: h = x_local·W, source/dest logits f_src/f_dst (local);
+  2. exchange [h ‖ f_src] rows for boundary senders (one padded all_to_all
+     over ICI — the same plan spmm_halo uses, widened by H logit columns);
+  3. everything else is local: edge scores (interior from local rows,
+     boundary from the halo slab), per-receiver max/exp/denominator, and
+     the weighted aggregation (Pallas kernel on TPU).
+
+This distributes GAT (GAT/models/layers.py:94-131) the way the reference
+never could — its DataParallel replicates the whole graph per GPU.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from .halo import HaloGraph
+
+
+def _seg_max(scores, seg, n, mask):
+    neg = jnp.finfo(jnp.float32).min
+    s = jnp.where(mask[:, None], scores, neg)
+    m = jax.ops.segment_max(s, seg, num_segments=n, indices_are_sorted=True)
+    return jnp.where(m > neg / 2, m, 0.0)
+
+
+def gat_halo(
+    hg: HaloGraph,
+    x: jax.Array,
+    w: jax.Array,
+    a_src: jax.Array,
+    a_dst: jax.Array,
+    *,
+    negative_slope: float = 0.2,
+) -> jax.Array:
+    """One multi-head GAT layer, edge-partitioned over ``hg.mesh``.
+
+    ``x``: [n_node_pad, F_in] row-sharded P(axis); ``w``: [F_in, H·F]
+    replicated; ``a_src``/``a_dst``: [H, F] replicated. Returns
+    [n_node_pad, H·F] row-sharded (heads concatenated).
+    """
+    n_heads, feat = a_src.shape
+    hf = n_heads * feat
+
+    @partial(
+        jax.shard_map, mesh=hg.mesh,
+        in_specs=(P(hg.axis),) * 11 + (P(hg.axis), P(), P(), P()),
+        out_specs=P(hg.axis),
+    )
+    def f(si, ri, wi, oi, ci, sb, rb, wb, ob, cb, send_idx_,
+          x_local, w_, asrc_, adst_):
+        from ..ops.aggregate import _aggregate_core
+
+        si, ri, wi, oi, ci = si[0], ri[0], wi[0], oi[0], ci[0]
+        sb, rb, wb, ob, cb = sb[0], rb[0], wb[0], ob[0], cb[0]
+        send_idx_ = send_idx_[0]                       # [D, H_halo]
+        nps = hg.nodes_per_shard
+
+        h = (x_local @ w_).reshape(nps, n_heads, feat)
+        hfl = h.reshape(nps, hf)
+        f_src = jnp.einsum("nhf,hf->nh", h.astype(jnp.float32), asrc_)
+        f_dst = jnp.einsum("nhf,hf->nh", h.astype(jnp.float32), adst_)
+
+        # ONE exchange: [h ‖ f_src] rows each peer needs.
+        payload = jnp.concatenate(
+            [hfl.astype(jnp.float32), f_src], axis=1)   # [nps, hf+H]
+        sends = payload[send_idx_.reshape(-1)]          # [D*H_halo, hf+H]
+        halo = jax.lax.all_to_all(
+            sends, hg.axis, split_axis=0, concat_axis=0, tiled=True)
+        halo_h = halo[:, :hf].astype(hfl.dtype)
+        halo_fs = halo[:, hf:]
+
+        # edge scores (padding edges carry weight 0 → masked out)
+        mask_i, mask_b = wi > 0, wb > 0
+        sc_i = jax.nn.leaky_relu(
+            f_src[si] + f_dst[ri], negative_slope)       # [Ei, H]
+        sc_b = jax.nn.leaky_relu(
+            halo_fs[sb] + f_dst[rb], negative_slope)     # [Eb, H]
+
+        # receiver-local stable softmax across interior + boundary edges
+        m = jnp.maximum(_seg_max(sc_i, ri, nps, mask_i),
+                        _seg_max(sc_b, rb, nps, mask_b))  # [nps, H]
+        e_i = jnp.where(mask_i[:, None], jnp.exp(sc_i - m[ri]), 0.0)
+        e_b = jnp.where(mask_b[:, None], jnp.exp(sc_b - m[rb]), 0.0)
+        denom = (
+            jax.ops.segment_sum(e_i, ri, num_segments=nps,
+                                indices_are_sorted=True)
+            + jax.ops.segment_sum(e_b, rb, num_segments=nps,
+                                  indices_are_sorted=True))
+        denom = jnp.maximum(denom, 1e-16)
+
+        # weighted aggregation, all heads in one kernel pass per edge set
+        vi = (h[si] * e_i[:, :, None].astype(h.dtype)).reshape(-1, hf)
+        num = _aggregate_core(ri, vi, oi, ci, nps, hg.int_max_chunks)
+        vb = (halo_h.reshape(-1, n_heads, feat)[sb]
+              * e_b[:, :, None].astype(h.dtype)).reshape(-1, hf)
+        num = num + _aggregate_core(rb, vb, ob, cb, nps, hg.bnd_max_chunks)
+
+        out = num.reshape(nps, n_heads, feat) / denom[:, :, None].astype(
+            num.dtype)
+        return out.reshape(nps, hf)
+
+    return f(hg.int_senders, hg.int_receivers, hg.int_weight,
+             hg.int_off, hg.int_cnt,
+             hg.bnd_senders, hg.bnd_receivers, hg.bnd_weight,
+             hg.bnd_off, hg.bnd_cnt,
+             hg.send_idx, x, w, a_src, a_dst)

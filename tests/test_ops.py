@@ -172,3 +172,25 @@ def test_edge_softmax_matches_segment_softmax(small_graph, rng):
     a1 = edge_softmax(g, scores)
     a2 = segment_softmax(scores, g.receivers, g.n_nodes, mask=g.edge_mask)
     np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), atol=1e-5)
+
+
+def test_sddmm_additive_matches_naive():
+    from graphneuralnetwork_tpu.ops.spmm import sddmm_additive
+
+    rng = np.random.default_rng(3)
+    n, e = 50, 200
+    s = jnp.asarray(rng.integers(0, n, e), jnp.int32)
+    r = jnp.asarray(rng.integers(0, n, e), jnp.int32)
+    fs = jnp.asarray(rng.normal(size=(n,)).astype(np.float32))
+    fr = jnp.asarray(rng.normal(size=(n,)).astype(np.float32))
+    out = sddmm_additive(s, r, fs, fr)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(fs)[np.asarray(s)]
+                               + np.asarray(fr)[np.asarray(r)], rtol=1e-6)
+    # multi-head path
+    fs2 = jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32))
+    fr2 = jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32))
+    out2 = sddmm_additive(s, r, fs2, fr2)
+    np.testing.assert_allclose(np.asarray(out2),
+                               np.asarray(fs2)[np.asarray(s)]
+                               + np.asarray(fr2)[np.asarray(r)], rtol=1e-6)
