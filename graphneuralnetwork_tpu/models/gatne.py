@@ -42,6 +42,10 @@ class GATNEConfig:
     epochs: int = 5
     seed: int = 0
     inductive: bool = False   # GATNE-I uses node features
+    # Negative distribution: 'log_uniform' is the reference NSLoss Zipfian
+    # over frequency rank (GATNE/train_utils/loss_utils.py:14-22);
+    # 'frequency' is freq^0.75 skip-gram style.
+    negative_sampling: str = "log_uniform"
     # Walk-corpus cache dir: walks persist across runs like the reference's
     # train_walks.txt (GATNE/utils/data_utils.py:171-177, 184-207).
     cache_dir: Optional[str] = None
@@ -131,7 +135,18 @@ def train_gatne(data: Optional[MultiplexData] = None,
     centers, contexts, types = generate_pairs(data, cfg, rng)
     freq = np.bincount(
         np.concatenate([centers, contexts]), minlength=data.n_nodes)
-    neg_sampler = NegativeSampler(np.maximum(freq, 1))
+    if cfg.negative_sampling == "log_uniform":
+        # NSLoss sample_weight (GATNE/train_utils/loss_utils.py:14-22):
+        # Zipfian P(k) ∝ log(k+2) − log(k+1) over frequency rank k (the
+        # reference indexes by its frequency-sorted Vocab; ranking by the
+        # empirical corpus frequency reproduces that for any id order).
+        rank = np.empty(data.n_nodes, np.int64)
+        rank[np.argsort(-freq, kind="stable")] = np.arange(data.n_nodes)
+        k = rank.astype(np.float64)
+        w = (np.log(k + 2) - np.log(k + 1)) / np.log(data.n_nodes + 1)
+        neg_sampler = NegativeSampler(w, power=1.0)
+    else:
+        neg_sampler = NegativeSampler(np.maximum(freq, 1))
 
     features = (jnp.asarray(data.features)
                 if cfg.inductive and data.features is not None else None)

@@ -140,3 +140,27 @@ def test_gatne_walk_cache_roundtrip(tmp_path):
     w2 = _generate_walks(data, cfg, np.random.default_rng(99))
     for ty in data.edge_types:
         np.testing.assert_array_equal(w1[ty], w2[ty])
+
+
+def test_gatne_log_uniform_negative_distribution():
+    """The log-uniform NSLoss distribution must favour frequent (low-rank)
+    nodes: P(k) ∝ log(k+2)-log(k+1) (GATNE/train_utils/loss_utils.py:14-22).
+    """
+    from graphneuralnetwork_tpu.sampling.skipgram import NegativeSampler
+
+    rng = np.random.default_rng(0)
+    n = 64
+    freq = np.arange(n, 0, -1)  # node 0 most frequent
+    rank = np.empty(n, np.int64)
+    rank[np.argsort(-freq, kind="stable")] = np.arange(n)
+    k = rank.astype(np.float64)
+    w = (np.log(k + 2) - np.log(k + 1)) / np.log(n + 1)
+    sampler = NegativeSampler(w, power=1.0)
+    draws = sampler.draw((20000,), rng)
+    counts = np.bincount(draws, minlength=n)
+    # empirical frequency ratio of rank-0 vs rank-31 should approximate the
+    # theoretical log-uniform ratio
+    expect = w[0] / w[31]
+    got = counts[0] / max(counts[31], 1)
+    assert 0.6 * expect < got < 1.6 * expect, (expect, got)
+    assert counts[0] > counts[-1] > 0
