@@ -106,6 +106,22 @@ class GATConv(nn.Module):
         f_src = jnp.einsum("nhf,hf->nh", hf, a_src)
         f_dst = jnp.einsum("nhf,hf->nh", hf, a_dst)
 
+        if hasattr(graph, "halo_size"):
+            # HaloGraph: edge-partitioned multi-chip attention — the dense
+            # projections above ran under GSPMD on row-sharded x; the
+            # edge-wise part (one all_to_all + receiver-local softmax)
+            # runs in shard_map (parallel/halo_attention.py).
+            if self.attn_dropout > 0.0 and not self.deterministic:
+                raise NotImplementedError(
+                    "attention dropout is not supported on HaloGraph "
+                    "(α is never materialised per edge)")
+            from ..parallel.halo_attention import gat_halo_attend
+            out = gat_halo_attend(graph, h, f_src, f_dst,
+                                  negative_slope=self.negative_slope)
+            if self.concat_heads:
+                return out
+            return out.reshape(-1, self.num_heads, self.features).mean(1)
+
         # Edge scores [E, H]: sender contributes f_src, receiver f_dst.
         scores = f_src[graph.senders] + f_dst[graph.receivers]
         scores = nn.leaky_relu(scores, self.negative_slope)

@@ -5,7 +5,7 @@ from .sharded import (  # noqa: F401
     shard_nodes,
     spmm_sharded,
 )
-from .halo_attention import gat_halo  # noqa: F401
+from .halo_attention import gat_halo, gat_halo_attend  # noqa: F401
 from .halo import (  # noqa: F401
     HaloGraph,
     partition_graph_halo,

@@ -51,26 +51,49 @@ def gat_halo(
     [n_node_pad, H·F] row-sharded (heads concatenated).
     """
     n_heads, feat = a_src.shape
+    h = (x @ w).reshape(x.shape[0], n_heads, feat)   # GSPMD: row-sharded
+    hf32 = h.astype(jnp.float32)
+    f_src = jnp.einsum("nhf,hf->nh", hf32, a_src)
+    f_dst = jnp.einsum("nhf,hf->nh", hf32, a_dst)
+    return gat_halo_attend(hg, h, f_src, f_dst,
+                           negative_slope=negative_slope)
+
+
+def gat_halo_attend(
+    hg: HaloGraph,
+    h: jax.Array,
+    f_src: jax.Array,
+    f_dst: jax.Array,
+    *,
+    negative_slope: float = 0.2,
+) -> jax.Array:
+    """Attention + aggregation given per-node projections.
+
+    ``h``: [n_node_pad, H, F] per-head features, ``f_src``/``f_dst``:
+    [n_node_pad, H] attention logits — all row-sharded P(axis) (the dense
+    projections happen outside under GSPMD, so flax layers like GATConv
+    can compute them normally and only the edge-wise part runs in
+    shard_map). Returns [n_node_pad, H·F] row-sharded.
+    """
+    n_heads, feat = h.shape[1], h.shape[2]
     hf = n_heads * feat
 
     @partial(
         jax.shard_map, mesh=hg.mesh,
-        in_specs=(P(hg.axis),) * 11 + (P(hg.axis), P(), P(), P()),
+        in_specs=(P(hg.axis),) * 11 + (P(hg.axis),) * 3,
         out_specs=P(hg.axis),
     )
     def f(si, ri, wi, oi, ci, sb, rb, wb, ob, cb, send_idx_,
-          x_local, w_, asrc_, adst_):
+          h_in, fsrc_in, f_dst):
         from ..ops.aggregate import _aggregate_core
 
         si, ri, wi, oi, ci = si[0], ri[0], wi[0], oi[0], ci[0]
         sb, rb, wb, ob, cb = sb[0], rb[0], wb[0], ob[0], cb[0]
         send_idx_ = send_idx_[0]                       # [D, H_halo]
         nps = hg.nodes_per_shard
-
-        h = (x_local @ w_).reshape(nps, n_heads, feat)
+        h = h_in
         hfl = h.reshape(nps, hf)
-        f_src = jnp.einsum("nhf,hf->nh", h.astype(jnp.float32), asrc_)
-        f_dst = jnp.einsum("nhf,hf->nh", h.astype(jnp.float32), adst_)
+        f_src = fsrc_in
 
         # ONE exchange: [h ‖ f_src] rows each peer needs.
         payload = jnp.concatenate(
@@ -115,4 +138,4 @@ def gat_halo(
              hg.int_off, hg.int_cnt,
              hg.bnd_senders, hg.bnd_receivers, hg.bnd_weight,
              hg.bnd_off, hg.bnd_cnt,
-             hg.send_idx, x, w, a_src, a_dst)
+             hg.send_idx, h, f_src, f_dst)

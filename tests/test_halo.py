@@ -139,3 +139,28 @@ def test_gat_halo_matches_single_device(mesh):
     g_ref = jax.jit(jax.grad(loss_ref))(jnp.asarray(w))
     np.testing.assert_allclose(np.asarray(g_halo), np.asarray(g_ref),
                                atol=5e-3, rtol=5e-3)
+
+
+def test_gatconv_model_runs_on_halograph(mesh):
+    """The flax GATConv (and thus GAT/HAN models) runs unchanged on a
+    HaloGraph: same params as the single-device path, same outputs."""
+    from graphneuralnetwork_tpu.nn import GATConv
+
+    rng = np.random.default_rng(11)
+    n, e, f_in = 80, 500, 10
+    s = rng.integers(0, n, e).astype(np.int64)
+    r = rng.integers(0, n, e).astype(np.int64)
+    x = rng.standard_normal((n, f_in)).astype(np.float32)
+
+    g = build_graph(s.astype(np.int32), r.astype(np.int32), n)
+    hg = partition_graph_halo(s, r, n, mesh=mesh)
+    xs = shard_nodes_halo(x, hg)
+
+    conv = GATConv(features=4, num_heads=2)
+    params = conv.init(jax.random.PRNGKey(0), g, jnp.asarray(x))["params"]
+
+    out_single = conv.apply({"params": params}, g, jnp.asarray(x))
+    out_halo = jax.jit(
+        lambda p, xx: conv.apply({"params": p}, hg, xx))(params, xs)
+    np.testing.assert_allclose(np.asarray(out_halo)[:n],
+                               np.asarray(out_single), atol=3e-5, rtol=1e-4)
