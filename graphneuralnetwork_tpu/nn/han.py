@@ -27,8 +27,10 @@ class SemanticAttention(nn.Module):
     hidden: int = 128
 
     @nn.compact
-    def __call__(self, z: jax.Array) -> jax.Array:
-        # z: [P, N, F] stacked per-metapath embeddings
+    def __call__(self, z: jax.Array, mask=None) -> jax.Array:
+        # z: [P, N, F] stacked per-metapath embeddings. ``mask`` (bool[N])
+        # excludes padding rows from the β mean — needed when N is the
+        # padded node count (HaloGraph multi-chip path).
         # Semantic attention runs in f32 regardless of the compute dtype:
         # P×N×H is small and the softmax is precision-sensitive.
         z = z.astype(jnp.float32)
@@ -36,7 +38,13 @@ class SemanticAttention(nn.Module):
         q = self.param("q", nn.initializers.glorot_uniform(),
                        (self.hidden, 1), jnp.float32)
         scores = jnp.tanh(w) @ q                           # [P, N, 1]
-        beta = jax.nn.softmax(scores.mean(axis=1), axis=0)  # [P, 1]
+        if mask is not None:
+            m = mask.astype(jnp.float32)[None, :, None]
+            mean = (scores * m).sum(axis=1) / jnp.maximum(m.sum(axis=1),
+                                                          1.0)
+        else:
+            mean = scores.mean(axis=1)
+        beta = jax.nn.softmax(mean, axis=0)                 # [P, 1]
         return jnp.sum(beta[:, None, :] * z, axis=0)        # [N, F]
 
 
@@ -62,7 +70,13 @@ class HANLayer(nn.Module):
                         name=f"gat_mp{p}")(g, x)
             zs.append(nn.elu(z))
         z = jnp.stack(zs, axis=0)  # [P, N, heads*F]
-        return SemanticAttention(name="semantic")(z)
+        # On padded node sets (HaloGraph), exclude padding rows from the
+        # semantic-attention mean.
+        mask = None
+        g0 = graphs[0]
+        if x.shape[0] > g0.n_nodes:
+            mask = jnp.arange(x.shape[0]) < g0.n_nodes
+        return SemanticAttention(name="semantic")(z, mask=mask)
 
 
 class DenseHANLayer(nn.Module):

@@ -156,3 +156,64 @@ def test_tensor_parallel_gcn_matches_single_device():
             ref_grads, tp_grads)
     finally:
         set_ops_impl("auto")
+
+
+def test_han_forward_on_halo_metapath_graphs(mesh, rng):
+    """HAN runs unchanged when each metapath graph is a HaloGraph: GATConv
+    dispatches to the edge-partitioned attention, semantic attention runs
+    under GSPMD on the row-sharded stack."""
+    from graphneuralnetwork_tpu.nn import HAN
+    from graphneuralnetwork_tpu.parallel import (
+        partition_graph_halo, shard_nodes_halo)
+
+    n, f_in = 64, 12
+    edges = []
+    for _ in range(2):  # two metapaths
+        e = 400
+        edges.append((rng.integers(0, n, e), rng.integers(0, n, e)))
+    x = rng.normal(size=(n, f_in)).astype(np.float32)
+
+    graphs1 = [build_graph(s.astype(np.int32), r.astype(np.int32), n)
+               for s, r in edges]
+    model = HAN(num_metapaths=2, num_classes=3, hidden=4, num_heads=(2,),
+                dropout=0.0)
+    params = model.init(jax.random.PRNGKey(0), graphs1,
+                        jnp.asarray(x))["params"]
+    out1 = model.apply({"params": params}, graphs1, jnp.asarray(x))
+
+    hgs = [partition_graph_halo(s, r, n, mesh=mesh) for s, r in edges]
+    xs = shard_nodes_halo(x, hgs[0])
+    out2 = jax.jit(lambda p, xx: model.apply({"params": p}, hgs, xx))(
+        params, xs)
+    np.testing.assert_allclose(np.asarray(out2)[:n], np.asarray(out1),
+                               atol=3e-5, rtol=1e-4)
+
+
+def test_gtn_gspmd_sharded_adjacency(mesh, rng):
+    """GTN's dense [T,N,N] einsum chains partition under GSPMD: sharding
+    the adjacency stack and features over the mesh must reproduce the
+    single-device forward."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from graphneuralnetwork_tpu.nn import GTN
+
+    n, t, f_in = 64, 3, 16
+    adj = (rng.random((t, n, n)) < 0.1).astype(np.float32)
+    x = rng.normal(size=(n, f_in)).astype(np.float32)
+
+    model = GTN(num_classes=3, channels=2, num_layers=2, hidden=8)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(adj),
+                        jnp.asarray(x))["params"]
+    out1 = model.apply({"params": params}, jnp.asarray(adj),
+                       jnp.asarray(x))
+    if isinstance(out1, tuple):
+        out1 = out1[0]
+
+    adj_sh = jax.device_put(jnp.asarray(adj),
+                            NamedSharding(mesh, P(None, "data", None)))
+    x_sh = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P("data")))
+    out2 = jax.jit(lambda p, a, xx: model.apply({"params": p}, a, xx))(
+        params, adj_sh, x_sh)
+    if isinstance(out2, tuple):
+        out2 = out2[0]
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(out1),
+                               atol=2e-4, rtol=1e-3)
