@@ -215,18 +215,33 @@ class SAGEConv(nn.Module):
     def __call__(self, graph: Graph, x: jax.Array) -> jax.Array:
         if self.dtype is not None:
             x = x.astype(self.dtype)
-        msgs = x[graph.senders]
-        if self.aggregator == "mean":
-            agg = segment_mean(msgs, graph.receivers, graph.n_nodes,
-                               mask=graph.edge_mask)
-        elif self.aggregator == "sum":
-            w = graph.edge_weight[:, None].astype(x.dtype)
-            agg = aggregate_edges(graph, msgs * w)
-        elif self.aggregator == "max":
-            agg = segment_max(msgs, graph.receivers, graph.n_nodes,
-                              mask=graph.edge_mask)
+        if hasattr(graph, "halo_size") or hasattr(graph, "mesh"):
+            # Partitioned graphs: mean/sum ride the dispatching spmm
+            # (weights are 1 on real edges, 0 on padding). max has no
+            # distributed segment-max — unsupported here.
+            if self.aggregator == "sum":
+                agg = spmm(graph, x)
+            elif self.aggregator == "mean":
+                ones = jnp.ones((x.shape[0], 1), x.dtype)
+                counts = jnp.maximum(spmm(graph, ones), 1.0)
+                agg = spmm(graph, x) / counts
+            else:
+                raise NotImplementedError(
+                    f"{self.aggregator!r} aggregator is not supported on "
+                    "partitioned graphs")
         else:
-            raise ValueError(f"unknown aggregator {self.aggregator!r}")
+            msgs = x[graph.senders]
+            if self.aggregator == "mean":
+                agg = segment_mean(msgs, graph.receivers, graph.n_nodes,
+                                   mask=graph.edge_mask)
+            elif self.aggregator == "sum":
+                w = graph.edge_weight[:, None].astype(x.dtype)
+                agg = aggregate_edges(graph, msgs * w)
+            elif self.aggregator == "max":
+                agg = segment_max(msgs, graph.receivers, graph.n_nodes,
+                                  mask=graph.edge_mask)
+            else:
+                raise ValueError(f"unknown aggregator {self.aggregator!r}")
 
         neigh = nn.Dense(self.features, use_bias=self.use_bias,
                          dtype=self.dtype, name="neighbor")(agg)

@@ -217,3 +217,30 @@ def test_gtn_gspmd_sharded_adjacency(mesh, rng):
         out2 = out2[0]
     np.testing.assert_allclose(np.asarray(out2), np.asarray(out1),
                                atol=2e-4, rtol=1e-3)
+
+
+def test_sageconv_on_halograph(mesh, rng):
+    """SAGEConv mean/sum aggregators run on HaloGraph via the dispatching
+    spmm and match the single-device layer."""
+    from graphneuralnetwork_tpu.nn import SAGEConv
+    from graphneuralnetwork_tpu.parallel import (
+        partition_graph_halo, shard_nodes_halo)
+
+    n, e, f_in = 72, 450, 9
+    s = rng.integers(0, n, e).astype(np.int64)
+    r = rng.integers(0, n, e).astype(np.int64)
+    x = rng.normal(size=(n, f_in)).astype(np.float32)
+
+    g1 = build_graph(s.astype(np.int32), r.astype(np.int32), n)
+    hg = partition_graph_halo(s, r, n, mesh=mesh)
+    xs = shard_nodes_halo(x, hg)
+
+    for aggr in ("mean", "sum"):
+        conv = SAGEConv(features=6, aggregator=aggr)
+        params = conv.init(jax.random.PRNGKey(0), g1,
+                           jnp.asarray(x))["params"]
+        out1 = conv.apply({"params": params}, g1, jnp.asarray(x))
+        out2 = jax.jit(
+            lambda p, xx: conv.apply({"params": p}, hg, xx))(params, xs)
+        np.testing.assert_allclose(np.asarray(out2)[:n], np.asarray(out1),
+                                   atol=3e-5, rtol=1e-4, err_msg=aggr)
