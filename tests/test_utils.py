@@ -55,3 +55,27 @@ def test_metric_logger_smoothing(capsys):
     ml.log(total_steps=4)
     out = capsys.readouterr().out
     assert "loss" in out and "eta" in out
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from graphneuralnetwork_tpu.train import TrainState
+    from graphneuralnetwork_tpu.train.checkpoint import (
+        restore_checkpoint, save_checkpoint)
+
+    params = {"w": jnp.arange(6.0).reshape(2, 3)}
+    tx = optax.adam(1e-2)
+    state = TrainState.create(apply_fn=lambda *a: None, params=params,
+                              tx=tx, dropout_rng=jax.random.PRNGKey(0))
+    save_checkpoint(str(tmp_path), state, step=7, backend="orbax")
+
+    blank = TrainState.create(
+        apply_fn=lambda *a: None,
+        params={"w": jnp.zeros((2, 3))}, tx=tx,
+        dropout_rng=jax.random.PRNGKey(0))
+    restored, step = restore_checkpoint(str(tmp_path), blank)
+    assert step == 7
+    np.testing.assert_allclose(np.asarray(restored.params["w"]),
+                               np.asarray(params["w"]))
