@@ -42,6 +42,12 @@ class SageConfig:
     # unsupervised mode
     num_negatives: int = 5
     walk_length: int = 5
+    # On-device sampling: the neighbor table lives in HBM, each hop is a
+    # randint + gather inside jit, and a whole epoch (sampling included)
+    # runs as ONE lax.scan dispatch (sampling/device_neighbor.py). The
+    # host-CPU path mirrors the reference's DataLoader collate instead.
+    device_sampling: bool = False
+    max_table_degree: Optional[int] = None
 
 
 def _gather_hops(features_dev, hops):
@@ -53,6 +59,8 @@ def _gather_hops(features_dev, hops):
 def train_sage_supervised(data, cfg: Optional[SageConfig] = None,
                           verbose: bool = False):
     cfg = cfg or SageConfig()
+    if cfg.device_sampling:
+        return train_sage_supervised_device(data, cfg, verbose=verbose)
     rng = np.random.default_rng(cfg.seed)
     indptr, indices, _ = csr_from_edges(
         data.senders, data.receivers, data.features.shape[0])
@@ -117,6 +125,103 @@ def train_sage_supervised(data, cfg: Optional[SageConfig] = None,
                   f"val_acc {val_acc:.4f} "
                   f"({time.perf_counter()-t0:.1f}s)")
     test_acc = evaluate(params, np.asarray(data.test_idx))
+    return params, history, test_acc
+
+
+def train_sage_supervised_device(data, cfg: SageConfig,
+                                 verbose: bool = False):
+    """Fully on-device GraphSAGE: sampling, feature gather, forward and
+    update all inside one jitted `lax.scan` per epoch — the host streams
+    nothing but an epoch RNG key. Same math as the host-sampled path
+    (with-replacement fanout draws, GraphSAGE_Pytorch/sample_utils.py:4-35).
+    """
+    from ..sampling.device_neighbor import (
+        build_device_neighbor_table, device_multihop_sampling)
+
+    indptr, indices, _ = csr_from_edges(
+        data.senders, data.receivers, data.features.shape[0])
+    table, deg = build_device_neighbor_table(
+        indptr, indices, max_deg=cfg.max_table_degree)
+    feats_dev = jnp.asarray(data.features)
+    labels_dev = jnp.asarray(data.labels)
+    dims = (cfg.hidden, data.num_classes)
+    model = SampledGraphSAGE(dims=dims, fanouts=tuple(cfg.fanouts),
+                             aggregator=cfg.aggregator)
+
+    B = cfg.batch_size
+    train_np = np.asarray(data.train_idx)
+    if len(train_np) < B:  # wrap-pad tiny splits to one full static batch
+        train_np = np.resize(train_np, B)
+    train_ids = jnp.asarray(train_np, jnp.int32)
+    nb = max(len(train_ids) // B, 1)
+
+    key0 = jax.random.PRNGKey(cfg.seed)
+    hops0 = device_multihop_sampling(key0, train_ids[:B], cfg.fanouts,
+                                     table, deg)
+    params = model.init(key0, [feats_dev[h] for h in hops0])["params"]
+    tx = optax.adamw(cfg.lr, weight_decay=cfg.weight_decay)
+    opt_state = tx.init(params)
+
+    def batch_loss(p, key, sel):
+        hops = device_multihop_sampling(key, sel, cfg.fanouts, table, deg)
+        logits = model.apply({"params": p}, [feats_dev[h] for h in hops])
+        y = labels_dev[sel]
+        return masked_softmax_cross_entropy(logits, y), (logits, y)
+
+    @jax.jit
+    def run_epoch(params, opt_state, key):
+        kperm, kscan = jax.random.split(key)
+        perm = jax.random.permutation(kperm, train_ids)[:nb * B]
+        batches = perm.reshape(nb, B)
+
+        def body(carry, sel):
+            params, opt_state, k = carry
+            k, kb = jax.random.split(k)
+            (loss, (logits, y)), grads = jax.value_and_grad(
+                batch_loss, has_aux=True)(params, kb, sel)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, k), (loss, accuracy(logits, y))
+
+        (params, opt_state, _), (losses, accs) = jax.lax.scan(
+            body, (params, opt_state, kscan), batches)
+        return params, opt_state, losses.mean(), accs.mean()
+
+    @jax.jit
+    def eval_batches(params, key, idx_mat):
+        def body(k, sel):
+            k, kb = jax.random.split(k)
+            hops = device_multihop_sampling(kb, sel, cfg.fanouts, table,
+                                            deg)
+            logits = model.apply({"params": params},
+                                 [feats_dev[h] for h in hops])
+            return k, accuracy(logits, labels_dev[sel])
+
+        _, accs = jax.lax.scan(body, key, idx_mat)
+        return accs.mean()
+
+    def eval_split(params, idx, key):
+        idx = np.asarray(idx)
+        if len(idx) < B:
+            idx = np.resize(idx, B)
+        m = max(len(idx) // B, 1)
+        mat = jnp.asarray(idx[:m * B].reshape(m, B), jnp.int32)
+        return float(eval_batches(params, key, mat))
+
+    history = []
+    t0 = time.perf_counter()
+    key = key0
+    for epoch in range(1, cfg.epochs + 1):
+        key, ke, kv = jax.random.split(key, 3)
+        params, opt_state, loss, acc = run_epoch(params, opt_state, ke)
+        val_acc = eval_split(params, data.val_idx, kv)
+        history.append((epoch, float(loss), val_acc))
+        if verbose:
+            print(f"epoch {epoch}: loss {float(loss):.4f} "
+                  f"val_acc {val_acc:.4f} "
+                  f"({time.perf_counter()-t0:.1f}s)")
+    key, kt = jax.random.split(key)
+    test_acc = eval_split(params, data.test_idx, kt)
     return params, history, test_acc
 
 
