@@ -52,6 +52,10 @@ class WalkEmbedConfig:
     # frequency subsampling threshold (DeepWalk/data_utils.py:65-76);
     # None disables — small corpora drop almost everything at 1e-4
     subsample_t: float | None = 1e-4
+    # generate uniform walks on the accelerator (lax.scan over a padded
+    # HBM neighbor table, sampling/device_neighbor.py) instead of the
+    # host CPU / C++ engine
+    device_walks: bool = False
 
 
 def _train_from_walks(walks: np.ndarray, n_nodes: int,
@@ -77,7 +81,18 @@ def run_deepwalk(data: Optional[EdgeListData] = None,
     indptr, indices, _ = csr_from_edges(
         data.senders, data.receivers, data.n_nodes)
     starts = np.tile(np.arange(data.n_nodes), cfg.num_walks)
-    walks = uniform_walks(indptr, indices, starts, cfg.walk_length, rng)
+    if cfg.device_walks:
+        import jax
+        import jax.numpy as jnp
+        from ..sampling.device_neighbor import (
+            build_device_neighbor_table, device_uniform_walks)
+        table, deg = build_device_neighbor_table(indptr, indices)
+        walks = np.asarray(jax.jit(
+            device_uniform_walks, static_argnames=("length",))(
+                jax.random.PRNGKey(cfg.seed), jnp.asarray(starts),
+                cfg.walk_length, table, deg))
+    else:
+        walks = uniform_walks(indptr, indices, starts, cfg.walk_length, rng)
     return _train_from_walks(walks, data.n_nodes, cfg)
 
 

@@ -74,3 +74,26 @@ def device_multihop_sampling(key, nodes: jax.Array,
     for k, f in zip(keys, fanouts):
         result.append(device_sample_neighbors(k, result[-1], table, deg, f))
     return result
+
+
+def device_uniform_walks(key, starts: jax.Array, length: int,
+                         table: jax.Array, deg: jax.Array) -> jax.Array:
+    """[W, length] uniform random walks, entirely on device.
+
+    lax.scan over steps: each step is one randint + row gather from the
+    HBM neighbor table — the device analogue of the host walkers
+    (DeepWalk/data_utils.py:28-62) and the C++ OpenMP engine. Walks from
+    zero-degree nodes stay put (same stop semantics as the host walker,
+    which keeps rectangular shape by repeating the terminal node).
+    """
+    starts = starts.astype(jnp.int32)
+
+    def step(carry, k):
+        cur = carry
+        nxt = device_sample_neighbors(k, cur, table, deg, 1)
+        return nxt, cur
+
+    keys = jax.random.split(key, max(length - 1, 1))
+    last, prevs = jax.lax.scan(step, starts, keys[:length - 1])
+    walks = jnp.concatenate([prevs, last[None]], axis=0)  # [L, W]
+    return walks.T

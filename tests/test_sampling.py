@@ -181,3 +181,49 @@ def test_skipgram_dataset_typed_path_runs():
         subsample_t=None, token_types=types)
     assert centers.ndim == 1 and ctx_neg.shape[0] == len(centers)
     assert ((labels == 0) | (labels == 1)).all()
+
+
+def test_device_uniform_walks():
+    """Device walks follow edges and stay rectangular; isolated nodes
+    stay put (sampling/device_neighbor.py:device_uniform_walks)."""
+    import jax
+    from graphneuralnetwork_tpu.sampling import csr_from_edges
+    from graphneuralnetwork_tpu.sampling.device_neighbor import (
+        build_device_neighbor_table, device_uniform_walks)
+
+    rng = np.random.default_rng(0)
+    n = 30
+    s = rng.integers(0, n - 1, 150)
+    r = rng.integers(0, n - 1, 150)
+    indptr, indices, _ = csr_from_edges(s, r, n)
+    table, deg = build_device_neighbor_table(indptr, indices)
+
+    starts = np.concatenate([np.arange(n - 1), [n - 1]])
+    import jax.numpy as jnp
+    walks = np.asarray(device_uniform_walks(
+        jax.random.PRNGKey(0), jnp.asarray(starts, jnp.int32), 8, table,
+        deg))
+    assert walks.shape == (n, 8)
+    assert (walks[:, 0] == starts).all()
+    # every step is a real edge (or a self-stay on zero-degree nodes)
+    adj = set(zip(s.tolist(), r.tolist()))
+    for w in walks:
+        for a, b in zip(w[:-1], w[1:]):
+            if int(deg[a]) == 0:
+                assert a == b
+            else:
+                assert (int(a), int(b)) in adj
+    # isolated last node never moves
+    assert (walks[-1] == n - 1).all()
+
+
+def test_run_deepwalk_device_walks():
+    from graphneuralnetwork_tpu.models.embedding import (
+        WalkEmbedConfig, run_deepwalk)
+
+    cfg = WalkEmbedConfig(num_walks=2, walk_length=6, embed_dim=16,
+                          epochs=1, batch_size=64, device_walks=True,
+                          subsample_t=None)
+    emb, history = run_deepwalk(cfg=cfg)
+    assert emb.shape[1] == 16
+    assert np.isfinite(history[-1][1])
