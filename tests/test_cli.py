@@ -26,3 +26,22 @@ def test_cli_line_quick():
 def test_cli_unknown_override_rejected():
     with pytest.raises(SystemExit):
         main(["--model", "deepwalk", "--quiet", "--set", "bogus=1"])
+
+
+def test_cli_basis():
+    res = main(["--model", "basis", "--quiet"])
+    assert res["diameter"] == 4
+    assert len(res["betweenness"]) == 10
+
+
+def test_cli_han_batch_quick():
+    res = main(["--model", "han_batch", "--epochs", "2", "--quiet",
+                "--set", "batch_size=64", "--set", "patience=100"])
+    assert "test_acc" in res and res["batches"] > 0
+
+
+def test_cli_graphsage_device_sampling():
+    res = main(["--model", "graphsage", "--epochs", "1", "--quiet",
+                "--set", "device_sampling=true", "--set", "batch_size=32",
+                "--set", "hidden=16"])
+    assert "test_acc" in res
