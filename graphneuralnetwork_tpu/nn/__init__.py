@@ -7,4 +7,4 @@ from .han import (  # noqa: F401
     HANLayer,
     SemanticAttention,
 )
-from .models import GAT, GCN, GraphSAGE  # noqa: F401
+from .models import GAT, GCN, DenseGAT, GraphSAGE  # noqa: F401

@@ -69,6 +69,42 @@ class GAT(nn.Module):
         return out.astype(jnp.float32)
 
 
+class DenseGAT(nn.Module):
+    """The reference's *dense* GAT model (GAT/models/GAT.py:21-28):
+    identical stack to ``GAT`` but over the full [N, N] adjacency via
+    DenseGATConv (N×N masked scores). Layer and parameter names match
+    ``GAT``, so weights transfer between the sparse and dense models
+    unchanged (tested)."""
+
+    hidden: int = 8
+    num_classes: int = 7
+    num_heads: int = 8
+    dropout: float = 0.6
+    negative_slope: float = 0.2
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, adj: jax.Array, x: jax.Array, *,
+                 deterministic: bool = True) -> jax.Array:
+        from .conv import DenseGATConv
+
+        x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        h = DenseGATConv(self.hidden, num_heads=self.num_heads,
+                         concat_heads=True,
+                         negative_slope=self.negative_slope,
+                         attn_dropout=self.dropout, dtype=self.dtype,
+                         deterministic=deterministic, name="attn1")(adj, x)
+        h = nn.elu(h)
+        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        out = DenseGATConv(self.num_classes, num_heads=1,
+                           concat_heads=False,
+                           negative_slope=self.negative_slope,
+                           attn_dropout=self.dropout, dtype=self.dtype,
+                           deterministic=deterministic,
+                           name="attn_out")(adj, h)
+        return out.astype(jnp.float32)
+
+
 class GraphSAGE(nn.Module):
     """Full-graph GraphSAGE; hidden dims per
     GraphSAGE_Pytorch/run.py:10 ([128, C])."""

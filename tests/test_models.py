@@ -141,3 +141,28 @@ def test_gcn_mixed_precision_close_and_trains(cora):
         mbf, data, epochs=200, optimizer=optax.adamw(2e-2),
         eval_every=40, patience=5, seed=0)
     assert res.test_acc > 0.5, res
+
+
+def test_dense_gat_model_matches_sparse_model(cora):
+    """The dense GAT model (reference GAT/models/GAT.py:21-28) and the
+    sparse SpGAT-equivalent share weights and must agree."""
+    from graphneuralnetwork_tpu.core.graph import dense_adj
+    from graphneuralnetwork_tpu.nn import GAT, DenseGAT
+
+    data = cora
+    sub_n = 120  # keep the N^2 path small
+    s = np.asarray(data.graph.senders)[: data.graph.n_edges]
+    r = np.asarray(data.graph.receivers)[: data.graph.n_edges]
+    keep = (s < sub_n) & (r < sub_n)
+    from graphneuralnetwork_tpu.core.graph import build_graph
+    g = build_graph(s[keep], r[keep], sub_n)
+    x = jnp.asarray(np.asarray(data.features)[:sub_n])
+    adj = dense_adj(g)
+
+    sparse = GAT(hidden=4, num_heads=2, num_classes=data.num_classes)
+    dense = DenseGAT(hidden=4, num_heads=2, num_classes=data.num_classes)
+    params = sparse.init(jax.random.PRNGKey(0), g, x)["params"]
+    out_s = sparse.apply({"params": params}, g, x)
+    out_d = dense.apply({"params": params}, adj, x)
+    np.testing.assert_allclose(np.asarray(out_d), np.asarray(out_s),
+                               atol=3e-5, rtol=1e-4)
