@@ -35,4 +35,10 @@ from .segment import (  # noqa: E402,F401
     segment_softmax,
     segment_sum,
 )
-from .spmm import sddmm_dot, spmm, spmm_coo, spmm_weighted  # noqa: E402,F401
+from .spmm import (  # noqa: E402,F401
+    sddmm_additive,
+    sddmm_dot,
+    spmm,
+    spmm_coo,
+    spmm_weighted,
+)
