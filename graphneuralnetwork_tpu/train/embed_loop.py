@@ -20,6 +20,23 @@ import optax
 from .metrics import binary_accuracy, masked_sigmoid_bce
 
 
+def shard_batch_arrays(arrays, mesh, axis: str = "data"):
+    """Data-parallel placement for skip-gram batches — the TPU analogue of
+    the reference's ``nn.DataParallel`` scatter (LINE/train_eval.py:23):
+    batch rows shard over the mesh, params stay replicated, and GSPMD
+    inserts the gradient psum. Use inside a jitted step by passing sharded
+    inputs; no code change to the step itself.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    out = []
+    for a in arrays:
+        spec = P(axis, *([None] * (jnp.ndim(a) - 1)))
+        out.append(jax.device_put(jnp.asarray(a), NamedSharding(mesh,
+                                                                spec)))
+    return tuple(out)
+
+
 def make_skipgram_step(model, tx):
     @jax.jit
     def step(params, opt_state, centers, ctx_neg, labels, mask):

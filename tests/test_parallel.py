@@ -244,3 +244,35 @@ def test_sageconv_on_halograph(mesh, rng):
             lambda p, xx: conv.apply({"params": p}, hg, xx))(params, xs)
         np.testing.assert_allclose(np.asarray(out2)[:n], np.asarray(out1),
                                    atol=3e-5, rtol=1e-4, err_msg=aggr)
+
+
+def test_data_parallel_skipgram_step(mesh, rng):
+    """DataParallel analogue for the embedding family (LINE/train_eval.py:23):
+    batch rows sharded over the mesh must produce the same loss and update
+    as the single-device step."""
+    import optax
+    from graphneuralnetwork_tpu.nn.embed import SkipGram
+    from graphneuralnetwork_tpu.train.embed_loop import (
+        make_skipgram_step, shard_batch_arrays)
+
+    n, B, C = 50, 64, 6
+    model = SkipGram(vocab_size=n, embed_dim=8)
+    centers = rng.integers(0, n, B).astype(np.int32)
+    ctx_neg = rng.integers(0, n, (B, C)).astype(np.int32)
+    labels = (rng.random((B, C)) < 0.5).astype(np.float32)
+    mask = np.ones((B, C), np.float32)
+
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(centers),
+                        jnp.asarray(ctx_neg))["params"]
+    tx = optax.adam(1e-2)
+    opt_state = tx.init(params)
+    step = make_skipgram_step(model, tx)
+
+    p1, _, loss1, acc1 = step(params, opt_state, jnp.asarray(centers),
+                              jnp.asarray(ctx_neg), jnp.asarray(labels),
+                              jnp.asarray(mask))
+    sharded = shard_batch_arrays((centers, ctx_neg, labels, mask), mesh)
+    p2, _, loss2, acc2 = step(params, opt_state, *sharded)
+    np.testing.assert_allclose(float(loss2), float(loss1), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(p2["center"]), np.asarray(p1["center"]), atol=1e-6)
