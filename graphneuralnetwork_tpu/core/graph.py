@@ -98,6 +98,35 @@ def build_graph(
     else:
         edge_weight = np.asarray(edge_weight, dtype=np.float32).ravel()
 
+    e_pad = max(_round_up(max(n_edges, 1), edge_block), edge_block)
+    n_pad = max(_round_up(max(n_nodes, 1), node_block), node_block)
+
+    from ..ops.pallas.spmm_kernel import (
+        EDGE_CHUNK, ROW_BLOCK, compute_chunk_spans)
+    assert EDGE_BLOCK == EDGE_CHUNK, (EDGE_BLOCK, EDGE_CHUNK)
+
+    if (sort_by_receiver and n_edges >= 16384
+            and edge_block == EDGE_CHUNK):
+        # Native graph compiler (native/graphbuild.cpp): parallel stable
+        # counting sort + padding + chunk spans in one pass, byte-exact with
+        # the numpy path below (tests/test_native.py).
+        from ..sampling.native import build_graph_native
+        built = build_graph_native(senders, receivers, edge_weight, n_nodes,
+                                   e_pad, ROW_BLOCK, EDGE_CHUNK)
+        if built is not None:
+            s, r, w, lo, cnt, max_chunks = built
+            return Graph(
+                senders=jnp.asarray(s),
+                receivers=jnp.asarray(r),
+                edge_weight=jnp.asarray(w),
+                chunk_off=jnp.asarray(lo),
+                chunk_cnt=jnp.asarray(cnt),
+                n_nodes=int(n_nodes),
+                n_edges=n_edges,
+                n_node_pad=int(n_pad),
+                max_chunks=int(max_chunks),
+            )
+
     if sort_by_receiver and n_edges > 0:
         order = np.argsort(receivers, kind="stable")
         senders, receivers, edge_weight = (
@@ -105,9 +134,6 @@ def build_graph(
             receivers[order],
             edge_weight[order],
         )
-
-    e_pad = max(_round_up(max(n_edges, 1), edge_block), edge_block)
-    n_pad = max(_round_up(max(n_nodes, 1), node_block), node_block)
 
     s = np.zeros(e_pad, dtype=np.int32)
     r = np.zeros(e_pad, dtype=np.int32)
@@ -121,10 +147,6 @@ def build_graph(
         s[n_edges:] = n_nodes - 1 if n_nodes > 0 else 0
         r[n_edges:] = n_nodes - 1 if n_nodes > 0 else 0
 
-    from ..ops.pallas.spmm_kernel import (
-        EDGE_CHUNK, ROW_BLOCK, compute_chunk_spans)
-
-    assert EDGE_BLOCK == EDGE_CHUNK, (EDGE_BLOCK, EDGE_CHUNK)
     if sort_by_receiver:
         lo, cnt, max_chunks = compute_chunk_spans(r, n_nodes)
     else:
@@ -177,6 +199,12 @@ def sym_normalize_weights(
     expected to have added self loops already)."""
     if edge_weight is None:
         edge_weight = np.ones(len(senders), dtype=np.float32)
+    if len(senders) >= 16384:
+        from ..sampling.native import normalize_edge_weights_native
+        w = normalize_edge_weights_native(
+            senders, receivers, edge_weight, n_nodes, "sym")
+        if w is not None:
+            return w
     deg = np.zeros(n_nodes, dtype=np.float64)
     np.add.at(deg, receivers, edge_weight)
     d_inv_sqrt = np.where(deg > 0, 1.0 / np.sqrt(np.maximum(deg, 1e-12)), 0.0)
@@ -193,6 +221,12 @@ def row_normalize_weights(
     ``norm`` (GTN/models/GTN.py:7-19) aggregating over incoming edges."""
     if edge_weight is None:
         edge_weight = np.ones(len(senders), dtype=np.float32)
+    if len(senders) >= 16384:
+        from ..sampling.native import normalize_edge_weights_native
+        w = normalize_edge_weights_native(
+            senders, receivers, edge_weight, n_nodes, "row")
+        if w is not None:
+            return w
     deg = np.zeros(n_nodes, dtype=np.float64)
     np.add.at(deg, receivers, edge_weight)
     d_inv = np.where(deg > 0, 1.0 / np.maximum(deg, 1e-12), 0.0)

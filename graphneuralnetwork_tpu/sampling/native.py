@@ -19,14 +19,18 @@ _LOCK = threading.Lock()
 _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
 
-_SRC = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), "native", "walker.cpp")
-_SO = os.path.join(os.path.dirname(_SRC), "libgnnwalker.so")
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "native")
+_SRCS = tuple(sorted(
+    os.path.join(_NATIVE_DIR, f)
+    for f in os.listdir(_NATIVE_DIR) if f.endswith(".cpp")
+)) if os.path.isdir(_NATIVE_DIR) else ()
+_SO = os.path.join(_NATIVE_DIR, "libgnnwalker.so")
 
 
 def _build() -> bool:
     cmd = ["g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
-           _SRC, "-o", _SO + ".tmp"]
+           *_SRCS, "-o", _SO + ".tmp"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         os.replace(_SO + ".tmp", _SO)
@@ -41,9 +45,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
         if _LIB is not None or _TRIED:
             return _LIB
         _TRIED = True
-        if not os.path.exists(_SO) or (
-                os.path.exists(_SRC)
-                and os.path.getmtime(_SRC) > os.path.getmtime(_SO)):
+        if not os.path.exists(_SO) or any(
+                os.path.getmtime(src) > os.path.getmtime(_SO)
+                for src in _SRCS):
             if not _build():
                 return None
         try:
@@ -70,6 +74,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.parse_numeric_edgelist.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int, I64, I64, F32]
         lib.parse_numeric_edgelist.restype = ctypes.c_int64
+        lib.build_graph_csr.argtypes = [
+            I32, I32, F32, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, I32, I32, F32, I32, I32]
+        lib.build_graph_csr.restype = ctypes.c_int64
+        lib.normalize_edge_weights.argtypes = [
+            I32, I32, F32, ctypes.c_int64, ctypes.c_int64, ctypes.c_int]
+        lib.normalize_edge_weights.restype = ctypes.c_int64
         lib.num_threads.restype = ctypes.c_int
         _LIB = lib
         return _LIB
@@ -180,3 +191,59 @@ def sample_neighbors_native(indptr, indices, nodes, fanout: int,
                          _p(nodes, ctypes.c_int64), len(nodes), fanout,
                          seed & 0xFFFFFFFFFFFFFFFF, _p(out, ctypes.c_int32))
     return out
+
+
+def build_graph_native(senders, receivers, edge_weight, n_nodes: int,
+                       e_pad: int, row_block: int, edge_chunk: int
+                       ) -> Optional[tuple]:
+    """Parallel stable receiver-sort + padding + Pallas chunk spans
+    (native/graphbuild.cpp) — byte-exact with the numpy build path.
+
+    Returns (s, r, w, chunk_off, chunk_cnt, max_chunks) or None when the
+    native lib is unavailable.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    senders = np.ascontiguousarray(senders, np.int32)
+    receivers = np.ascontiguousarray(receivers, np.int32)
+    n_edges = len(senders)
+    w_in = (np.ascontiguousarray(edge_weight, np.float32)
+            if edge_weight is not None else None)
+    s = np.empty(e_pad, np.int32)
+    r = np.empty(e_pad, np.int32)
+    w = np.empty(e_pad, np.float32)
+    n_row_blocks = -(-max(n_nodes, 1) // row_block)
+    off = np.empty(n_row_blocks, np.int32)
+    cnt = np.empty(n_row_blocks, np.int32)
+    max_chunks = lib.build_graph_csr(
+        _p(senders, ctypes.c_int32), _p(receivers, ctypes.c_int32),
+        _p(w_in, ctypes.c_float) if w_in is not None else None,
+        n_edges, n_nodes, e_pad, row_block, edge_chunk,
+        _p(s, ctypes.c_int32), _p(r, ctypes.c_int32), _p(w, ctypes.c_float),
+        _p(off, ctypes.c_int32), _p(cnt, ctypes.c_int32))
+    if max_chunks < 0:
+        return None
+    return s, r, w, off, cnt, int(max_chunks)
+
+
+def normalize_edge_weights_native(senders, receivers, edge_weight,
+                                  n_nodes: int, mode: str
+                                  ) -> Optional[np.ndarray]:
+    """Fused degree accumulation + per-edge normalisation. mode 'sym' is
+    D^-1/2 A D^-1/2 (GCN/data_utils.py:54-60); 'row' is D^-1 A over incoming
+    edges (GTN/models/GTN.py:7-19)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    senders = np.ascontiguousarray(senders, np.int32)
+    receivers = np.ascontiguousarray(receivers, np.int32)
+    w = np.array(edge_weight, np.float32, copy=True) \
+        if edge_weight is not None else np.ones(len(senders), np.float32)
+    rc = lib.normalize_edge_weights(
+        _p(senders, ctypes.c_int32), _p(receivers, ctypes.c_int32),
+        _p(w, ctypes.c_float), len(senders), n_nodes,
+        0 if mode == "sym" else 1)
+    if rc < 0:
+        return None
+    return w

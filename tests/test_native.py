@@ -145,3 +145,57 @@ def test_native_edgelist_parser_matches_python(tmp_path):
     p3 = tmp_path / "z.txt"
     p3.write_text("01 2\n2 3\n")
     assert nat.parse_edgelist_native(str(p3)) is None
+
+
+def test_native_graph_build_matches_numpy(rng):
+    """Native graph compiler is byte-exact with the numpy build path."""
+    from graphneuralnetwork_tpu.core import graph as G
+    from graphneuralnetwork_tpu.sampling.native import build_graph_native
+    n, e = 777, 20000  # above the native threshold, odd node count
+    s = rng.integers(0, n, e).astype(np.int32)
+    r = rng.integers(0, n, e).astype(np.int32)
+    w = rng.normal(size=e).astype(np.float32)
+    from graphneuralnetwork_tpu.ops.pallas.spmm_kernel import (
+        EDGE_CHUNK, ROW_BLOCK, compute_chunk_spans)
+    e_pad = -(-e // EDGE_CHUNK) * EDGE_CHUNK
+    built = build_graph_native(s, r, w, n, e_pad, ROW_BLOCK, EDGE_CHUNK)
+    assert built is not None
+    ns, nr, nw, noff, ncnt, nmax = built
+    # numpy oracle (the pre-native build path)
+    order = np.argsort(r, kind="stable")
+    ps = np.zeros(e_pad, np.int32); pr = np.zeros(e_pad, np.int32)
+    pw = np.zeros(e_pad, np.float32)
+    ps[:e], pr[:e], pw[:e] = s[order], r[order], w[order]
+    ps[e:] = n - 1; pr[e:] = n - 1
+    lo, cnt, mx = compute_chunk_spans(pr, n)
+    np.testing.assert_array_equal(ns, ps)
+    np.testing.assert_array_equal(nr, pr)
+    np.testing.assert_array_equal(nw, pw)
+    np.testing.assert_array_equal(noff, lo)
+    np.testing.assert_array_equal(ncnt, cnt)
+    assert nmax == mx
+    # and build_graph dispatches to it with identical results
+    g_native = G.build_graph(s, r, n, w)
+    assert np.array_equal(np.asarray(g_native.senders), ps)
+    assert g_native.max_chunks == mx
+
+
+def test_native_normalize_matches_numpy(rng):
+    from graphneuralnetwork_tpu.sampling.native import (
+        normalize_edge_weights_native)
+    n, e = 500, 20000
+    s = rng.integers(0, n, e)
+    r = rng.integers(0, n, e)
+    w = rng.random(e).astype(np.float32)
+    for mode in ("sym", "row"):
+        got = normalize_edge_weights_native(s, r, w, n, mode)
+        assert got is not None
+        deg = np.zeros(n, np.float64)
+        np.add.at(deg, r, w)
+        if mode == "sym":
+            dinv = np.where(deg > 0, 1 / np.sqrt(np.maximum(deg, 1e-12)), 0)
+            want = (w * dinv[s] * dinv[r]).astype(np.float32)
+        else:
+            dinv = np.where(deg > 0, 1 / np.maximum(deg, 1e-12), 0)
+            want = (w * dinv[r]).astype(np.float32)
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-9)
