@@ -51,6 +51,11 @@ def main(argv=None):
                          "(reference is_current_train, "
                          "GTN/train_utils/train_eval.py:22-25)")
     ap.add_argument("--quiet", action="store_true")
+    ap.add_argument("--optimizer", choices=["adamw", "sgd"], default=None,
+                    help="adamw = TPU-fast default; sgd = the reference's "
+                         "recipe (SGD + warmup-poly schedule with the "
+                         "reference lr, GAT/train_eval.py:9-33,54, "
+                         "HAN/run.py:10-11, GraphSAGE_Pytorch/run.py:8-10)")
     ap.add_argument("--dtype", choices=["float32", "bfloat16"],
                     default="float32",
                     help="compute dtype for gcn/gat/graphsage/han/gtn "
@@ -81,20 +86,28 @@ def main(argv=None):
             data = load_cora(name=args.dataset, seed=args.seed)
         else:
             data = load_cora(root=args.dataset, seed=args.seed)
+        from .train.schedule import make_optimizer
+        opt_name = args.optimizer or "adamw"
         if name == "gcn":
             # GCN/run.py:7-11: lr=2e-3, wd=5e-4, hidden=128, dropout=0.5,
-            # 4000 epochs
+            # 4000 epochs (reference optimizer is Adam,
+            # GCN/train_eval.py:27)
             model = GCN(hidden=128, num_classes=data.num_classes,
                         dropout=0.5, dtype=cdtype)
             epochs = args.epochs or 4000
-            opt = optax.adamw(2e-3, weight_decay=5e-4)
+            opt = make_optimizer(opt_name, 2e-3, weight_decay=5e-4,
+                                 total_steps=epochs, warmup_steps=1)
         else:
-            # GAT/run.py:8-9: lr=1e-2, hidden=8, heads=8, dropout=0.6
+            # GAT/run.py:8-9: lr=1e-2, hidden=8, heads=8, dropout=0.6;
+            # reference trains with SGD + warmup-poly
+            # (GAT/train_eval.py:54, 9-33) — that exact recipe under
+            # --optimizer sgd; adamw is the TPU-fast default.
             model = GAT(hidden=8, num_heads=8,
                         num_classes=data.num_classes, dropout=0.6,
                         dtype=cdtype)
             epochs = args.epochs or 1000
-            opt = optax.adamw(1e-2, weight_decay=5e-4)
+            opt = make_optimizer(opt_name, 1e-2, weight_decay=5e-4,
+                                 total_steps=epochs, warmup_steps=1)
         res = fit_node_classifier_scan(
             model, data, epochs=epochs, optimizer=opt,
             epochs_per_call=min(100, epochs), seed=args.seed,
@@ -109,8 +122,14 @@ def main(argv=None):
             SageConfig, train_sage_supervised, train_sage_unsupervised)
 
         data = load_pubmed(root=args.dataset, seed=args.seed)
-        cfg = _apply_overrides(
-            SageConfig(epochs=args.epochs or 5, seed=args.seed), args.set)
+        cfg = SageConfig(epochs=args.epochs or 5, seed=args.seed)
+        if args.optimizer:
+            cfg.optimizer = args.optimizer
+            if args.optimizer == "sgd":
+                # reference recipe: SGD lr=0.1 wd=1e-4 + warmup-poly
+                # (GraphSAGE_Pytorch/run.py:8-10, train_eval.py:74)
+                cfg.lr, cfg.weight_decay = 0.1, 1e-4
+        cfg = _apply_overrides(cfg, args.set)
         if name == "graphsage":
             params, history, test_acc = train_sage_supervised(
                 data, cfg, verbose=verbose)
@@ -119,6 +138,7 @@ def main(argv=None):
             params, history = train_sage_unsupervised(
                 data, cfg, verbose=verbose)
             result = dict(final_loss=history[-1][1],
+                      initial_loss=history[0][1],
                           binary_acc=history[-1][2])
 
     elif name == "han":
@@ -139,7 +159,13 @@ def main(argv=None):
         epochs = args.epochs or 100
         params = model.init(jax.random.PRNGKey(args.seed), data.graphs,
                             data.features)["params"]
-        tx = optax.adamw(5e-3)
+        # --optimizer sgd = the reference recipe: SGD lr=0.05
+        # (HAN/run.py:10-11, train_eval.py:48) + warmup-poly schedule.
+        from .train.schedule import make_optimizer
+        opt_name = args.optimizer or "adamw"
+        tx = make_optimizer(opt_name,
+                            0.05 if opt_name == "sgd" else 5e-3,
+                            total_steps=epochs, warmup_steps=1)
         opt_state = tx.init(params)
 
         def loss_fn(p):
@@ -287,7 +313,8 @@ def main(argv=None):
         fn = dict(deepwalk=run_deepwalk, node2vec=run_node2vec,
                   struc2vec=run_struc2vec)[name]
         emb, history = fn(data, cfg)
-        result = dict(final_loss=history[-1][1], embed_shape=emb.shape)
+        result = dict(final_loss=history[-1][1],
+                      initial_loss=history[0][1], embed_shape=emb.shape)
 
     elif name == "line":
         from .data.edgelist import load_edgelist
@@ -297,7 +324,8 @@ def main(argv=None):
         cfg = _apply_overrides(
             LINEConfig(epochs=args.epochs or 5, seed=args.seed), args.set)
         emb, history = run_line(data, cfg)
-        result = dict(final_loss=history[-1][1], embed_shape=emb.shape)
+        result = dict(final_loss=history[-1][1],
+                      initial_loss=history[0][1], embed_shape=emb.shape)
 
     elif name == "sdne":
         from .data.edgelist import load_edgelist
@@ -307,7 +335,8 @@ def main(argv=None):
         cfg = _apply_overrides(
             SDNEConfig(epochs=args.epochs or 10, seed=args.seed), args.set)
         emb, history = run_sdne(data, cfg)
-        result = dict(final_loss=history[-1][1], embed_shape=emb.shape)
+        result = dict(final_loss=history[-1][1],
+                      initial_loss=history[0][1], embed_shape=emb.shape)
 
     elif name == "metapath2vec":
         from .models import WalkEmbedConfig, run_metapath2vec
@@ -326,7 +355,8 @@ def main(argv=None):
                 type_offsets=jd.type_offsets, cfg=cfg)
         else:
             emb, history = run_metapath2vec(cfg=cfg)
-        result = dict(final_loss=history[-1][1], embed_shape=emb.shape)
+        result = dict(final_loss=history[-1][1],
+                      initial_loss=history[0][1], embed_shape=emb.shape)
 
     elif name == "gatne":
         from .data.edgelist import load_multiplex
@@ -344,7 +374,8 @@ def main(argv=None):
         cfg = _apply_overrides(
             BiNEConfig(epochs=args.epochs or 5, seed=args.seed), args.set)
         params, history, metrics = train_bine(cfg=cfg, verbose=verbose)
-        result = dict(final_loss=history[-1][1], test_metrics=metrics)
+        result = dict(final_loss=history[-1][1],
+                      initial_loss=history[0][1], test_metrics=metrics)
 
     def _clean(o):
         if isinstance(o, dict):

@@ -45,12 +45,15 @@ int64_t build_graph_csr(const int32_t* senders, const int32_t* receivers,
 
   // Per-(thread, receiver) histogram -> exclusive scan in (key, thread)
   // order gives each thread its stable scatter cursor per key.
+  // `parallel for` over slice ids (not a bare parallel region keyed on
+  // omp_get_thread_num) so every slice is processed exactly once even if
+  // the runtime delivers a smaller team than requested.
   std::vector<std::vector<int64_t>> local(n_threads);
-#pragma omp parallel num_threads(n_threads)
-  {
-    const int t = omp_get_thread_num();
+  for (int t = 0; t < n_threads; ++t)
+    local[t].assign(static_cast<size_t>(n_nodes), 0);
+#pragma omp parallel for schedule(static, 1)
+  for (int t = 0; t < n_threads; ++t) {
     auto& h = local[t];
-    h.assign(static_cast<size_t>(n_nodes), 0);
     const int64_t lo = t * slice;
     const int64_t hi = std::min(n_edges, lo + slice);
     for (int64_t i = lo; i < hi; ++i) {
@@ -72,9 +75,8 @@ int64_t build_graph_csr(const int32_t* senders, const int32_t* receivers,
   row_ptr[static_cast<size_t>(n_nodes)] = running;
   if (running != n_edges) return -1;  // out-of-range receiver
 
-#pragma omp parallel num_threads(n_threads)
-  {
-    const int t = omp_get_thread_num();
+#pragma omp parallel for schedule(static, 1)
+  for (int t = 0; t < n_threads; ++t) {
     auto& cur = local[t];
     const int64_t lo = t * slice;
     const int64_t hi = std::min(n_edges, lo + slice);
@@ -127,21 +129,30 @@ int64_t normalize_edge_weights(const int32_t* senders,
                                const int32_t* receivers, float* weights,
                                int64_t n_edges, int64_t n_nodes, int mode) {
   if (n_nodes <= 0 || n_edges < 0) return -1;
+  // Validate every index up front: an out-of-range sender/receiver must
+  // fail loudly (-1 -> the Python wrapper falls back to numpy, which
+  // raises IndexError) rather than read out of bounds below.
+  int64_t bad = 0;
+#pragma omp parallel for reduction(+ : bad)
+  for (int64_t i = 0; i < n_edges; ++i) {
+    if (senders[i] < 0 || senders[i] >= n_nodes || receivers[i] < 0 ||
+        receivers[i] >= n_nodes)
+      ++bad;
+  }
+  if (bad != 0) return -1;
   std::vector<double> deg(static_cast<size_t>(n_nodes), 0.0);
   const int n_threads = std::max(1, omp_get_max_threads());
   std::vector<std::vector<double>> local(n_threads);
+  for (int t = 0; t < n_threads; ++t)
+    local[t].assign(static_cast<size_t>(n_nodes), 0.0);
   const int64_t slice = (n_edges + n_threads - 1) / n_threads;
-#pragma omp parallel num_threads(n_threads)
-  {
-    const int t = omp_get_thread_num();
+#pragma omp parallel for schedule(static, 1)
+  for (int t = 0; t < n_threads; ++t) {
     auto& h = local[t];
-    h.assign(static_cast<size_t>(n_nodes), 0.0);
     const int64_t lo = t * slice;
     const int64_t hi = std::min(n_edges, lo + slice);
-    for (int64_t i = lo; i < hi; ++i) {
-      const int32_t r = receivers[i];
-      if (r >= 0 && r < n_nodes) h[static_cast<size_t>(r)] += weights[i];
-    }
+    for (int64_t i = lo; i < hi; ++i)
+      h[static_cast<size_t>(receivers[i])] += weights[i];
   }
 #pragma omp parallel for
   for (int64_t k = 0; k < n_nodes; ++k) {
@@ -150,7 +161,9 @@ int64_t normalize_edge_weights(const int32_t* senders,
     deg[static_cast<size_t>(k)] = d;
   }
   // Double-precision reciprocal table then one float cast at the end —
-  // the same arithmetic as the numpy path (core/graph.py).
+  // the same per-element arithmetic as the numpy path (core/graph.py);
+  // degree summation order differs per thread count, so results are
+  // allclose (not bitwise) vs np.add.at unless OMP_NUM_THREADS=1.
   std::vector<double> dinv(static_cast<size_t>(n_nodes));
 #pragma omp parallel for
   for (int64_t k = 0; k < n_nodes; ++k) {

@@ -54,36 +54,54 @@ def get_lib() -> Optional[ctypes.CDLL]:
             lib = ctypes.CDLL(_SO)
         except OSError:
             return None
-        I64 = ctypes.POINTER(ctypes.c_int64)
-        I32 = ctypes.POINTER(ctypes.c_int32)
-        F32 = ctypes.POINTER(ctypes.c_float)
-        U64 = ctypes.c_uint64
-        lib.uniform_walks.argtypes = [I64, I32, I64, ctypes.c_int64,
-                                      ctypes.c_int64, U64, I32]
-        lib.alias_walks.argtypes = [I64, I32, F32, I32, I64,
-                                    ctypes.c_int64, ctypes.c_int64, U64, I32]
-        lib.node2vec_walks.argtypes = [I64, I32, F32, I32, F32, I32, I64,
-                                       I64, ctypes.c_int64, ctypes.c_int64,
-                                       U64, I32]
-        lib.sample_neighbors.argtypes = [I64, I32, I64, ctypes.c_int64,
-                                         ctypes.c_int64, U64, I32]
-        F64 = ctypes.POINTER(ctypes.c_double)
-        lib.struc2vec_pair_distances.argtypes = [
-            I64, I32, ctypes.c_int64, ctypes.c_int64, I32, I32,
-            ctypes.c_int64, F64, I32]
-        lib.parse_numeric_edgelist.argtypes = [
-            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int, I64, I64, F32]
-        lib.parse_numeric_edgelist.restype = ctypes.c_int64
-        lib.build_graph_csr.argtypes = [
-            I32, I32, F32, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-            ctypes.c_int64, ctypes.c_int64, I32, I32, F32, I32, I32]
-        lib.build_graph_csr.restype = ctypes.c_int64
-        lib.normalize_edge_weights.argtypes = [
-            I32, I32, F32, ctypes.c_int64, ctypes.c_int64, ctypes.c_int]
-        lib.normalize_edge_weights.restype = ctypes.c_int64
-        lib.num_threads.restype = ctypes.c_int
+        try:
+            _bind_symbols(lib)
+        except AttributeError:
+            # Stale cached .so (mtime newer than sources but built before a
+            # symbol was added): rebuild once and retry, else fall back to
+            # the numpy paths.
+            if not _build():
+                return None
+            try:
+                lib = ctypes.CDLL(_SO)
+                _bind_symbols(lib)
+            except (OSError, AttributeError):
+                return None
         _LIB = lib
         return _LIB
+
+
+def _bind_symbols(lib: ctypes.CDLL) -> None:
+    """Declare argtypes for every exported symbol; raises AttributeError
+    when the library predates a symbol (handled by get_lib's rebuild)."""
+    I64 = ctypes.POINTER(ctypes.c_int64)
+    I32 = ctypes.POINTER(ctypes.c_int32)
+    F32 = ctypes.POINTER(ctypes.c_float)
+    U64 = ctypes.c_uint64
+    lib.uniform_walks.argtypes = [I64, I32, I64, ctypes.c_int64,
+                                  ctypes.c_int64, U64, I32]
+    lib.alias_walks.argtypes = [I64, I32, F32, I32, I64,
+                                ctypes.c_int64, ctypes.c_int64, U64, I32]
+    lib.node2vec_walks.argtypes = [I64, I32, F32, I32, F32, I32, I64,
+                                   I64, ctypes.c_int64, ctypes.c_int64,
+                                   U64, I32]
+    lib.sample_neighbors.argtypes = [I64, I32, I64, ctypes.c_int64,
+                                     ctypes.c_int64, U64, I32]
+    F64 = ctypes.POINTER(ctypes.c_double)
+    lib.struc2vec_pair_distances.argtypes = [
+        I64, I32, ctypes.c_int64, ctypes.c_int64, I32, I32,
+        ctypes.c_int64, F64, I32]
+    lib.parse_numeric_edgelist.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int, I64, I64, F32]
+    lib.parse_numeric_edgelist.restype = ctypes.c_int64
+    lib.build_graph_csr.argtypes = [
+        I32, I32, F32, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, I32, I32, F32, I32, I32]
+    lib.build_graph_csr.restype = ctypes.c_int64
+    lib.normalize_edge_weights.argtypes = [
+        I32, I32, F32, ctypes.c_int64, ctypes.c_int64, ctypes.c_int]
+    lib.normalize_edge_weights.restype = ctypes.c_int64
+    lib.num_threads.restype = ctypes.c_int
 
 
 def available() -> bool:

@@ -38,6 +38,10 @@ class SageConfig:
     weight_decay: float = 1e-4
     epochs: int = 5
     aggregator: str = "mean"
+    # "adamw" (TPU-fast default) or "sgd" = the reference recipe: SGD at
+    # the reference lr under the warmup-poly schedule
+    # (GraphSAGE_Pytorch/train_eval.py:74,28; run.py:8-10 lr=0.1 wd=1e-4).
+    optimizer: str = "adamw"
     seed: int = 0
     # unsupervised mode
     num_negatives: int = 5
@@ -48,6 +52,14 @@ class SageConfig:
     # host-CPU path mirrors the reference's DataLoader collate instead.
     device_sampling: bool = False
     max_table_degree: Optional[int] = None
+
+
+def _make_tx(cfg: "SageConfig", steps_per_epoch: int):
+    from .schedule import make_optimizer
+    return make_optimizer(cfg.optimizer, cfg.lr,
+                          weight_decay=cfg.weight_decay,
+                          total_steps=cfg.epochs * steps_per_epoch,
+                          warmup_steps=steps_per_epoch)
 
 
 def _gather_hops(features_dev, hops):
@@ -73,7 +85,7 @@ def train_sage_supervised(data, cfg: Optional[SageConfig] = None,
                               cfg.fanouts, indptr, indices, rng)
     params = model.init(jax.random.PRNGKey(cfg.seed),
                         _gather_hops(feats_dev, hops0))["params"]
-    tx = optax.adamw(cfg.lr, weight_decay=cfg.weight_decay)
+    tx = _make_tx(cfg, max(len(data.train_idx) // cfg.batch_size, 1))
     opt_state = tx.init(params)
 
     @jax.jit
@@ -159,7 +171,7 @@ def train_sage_supervised_device(data, cfg: SageConfig,
     hops0 = device_multihop_sampling(key0, train_ids[:B], cfg.fanouts,
                                      table, deg)
     params = model.init(key0, [feats_dev[h] for h in hops0])["params"]
-    tx = optax.adamw(cfg.lr, weight_decay=cfg.weight_decay)
+    tx = _make_tx(cfg, nb)
     opt_state = tx.init(params)
 
     def batch_loss(p, key, sel):
@@ -245,7 +257,7 @@ def train_sage_unsupervised(data, cfg: Optional[SageConfig] = None,
                               indptr, indices, rng)
     params = model.init(jax.random.PRNGKey(cfg.seed),
                         _gather_hops(feats_dev, hops0))["params"]
-    tx = optax.adamw(cfg.lr, weight_decay=cfg.weight_decay)
+    tx = _make_tx(cfg, max(n // cfg.batch_size, 1))
     opt_state = tx.init(params)
     K = cfg.num_negatives
 

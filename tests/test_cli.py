@@ -45,3 +45,37 @@ def test_cli_graphsage_device_sampling():
                 "--set", "device_sampling=true", "--set", "batch_size=32",
                 "--set", "hidden=16"])
     assert "test_acc" in res
+
+def test_cli_gcn_sgd_reference_optimizer():
+    # --optimizer sgd = SGD + warmup-poly (GAT/train_eval.py:9-33 recipe).
+    # GCN's reference optimizer is Adam (GCN/train_eval.py:27) and lr=2e-3
+    # under plain SGD converges far slower, so this asserts the recipe
+    # runs end-to-end, not an accuracy bar (GAT's SGD config is the
+    # accuracy target, exercised in REPRO.md).
+    res = main(["--model", "gcn", "--epochs", "40", "--quiet",
+                "--optimizer", "sgd"])
+    assert 0.0 <= res["test_acc"] <= 1.0
+
+
+def test_cli_graphsage_sgd_sets_reference_lr():
+    res = main(["--model", "graphsage", "--epochs", "1", "--quiet",
+                "--optimizer", "sgd", "--set", "batch_size=32",
+                "--set", "hidden=16"])
+    assert "test_acc" in res
+
+
+def test_make_optimizer_warmup_poly_matches_reference_factors():
+    # Factor sequence of HAN/train_utils/optimizer_utils.py:5-24 LambdaLR:
+    # linear 1e-3 -> 1 over warmup steps, then ((1-p)/(1-pw))^0.9 decay.
+    import jax.numpy as jnp
+    from graphneuralnetwork_tpu.train.schedule import warmup_poly_schedule
+    sched = warmup_poly_schedule(1.0, total_steps=10, warmup_steps=2,
+                                 warmup_factor=1e-3)
+    # step 0: factor = warmup_factor
+    assert abs(float(sched(jnp.asarray(0))) - 1e-3) < 1e-6
+    # step 2 (first post-warmup): ((1-2/10)/(1-2/10))^0.9 = 1
+    assert abs(float(sched(jnp.asarray(2))) - 1.0) < 1e-6
+    # step 6: ((1-0.6)/(1-0.2))^0.9
+    import math
+    assert abs(float(sched(jnp.asarray(6)))
+               - (0.4 / 0.8) ** 0.9) < 1e-5
