@@ -46,6 +46,16 @@ class GATNEConfig:
     # over frequency rank (GATNE/train_utils/loss_utils.py:14-22);
     # 'frequency' is freq^0.75 skip-gram style.
     negative_sampling: str = "log_uniform"
+    # v1/v2 neighbor aggregation (GATNE_Pytorch/models/GATNE.py:72-77)
+    aggregator: str = "mean"
+    # Training objective: 'nsloss' = v1 sampled-negative skip-gram
+    # (GATNE/train_utils/loss_utils.py:7-42); 'masked_bce' = v2
+    # Encoder/Decoder padded context+negative rows scored against a
+    # decoder weight table under per-row masked BCE
+    # (GATNE_Pytorch/models/GATNE.py:100-114, Collate_fn
+    # utils/data_utils.py:168-188, SigmoidBCELoss
+    # train_utils/loss_utils.py:4-10).
+    loss: str = "nsloss"
     # Walk-corpus cache dir: walks persist across runs like the reference's
     # train_walks.txt (GATNE/utils/data_utils.py:171-177, 184-207).
     cache_dir: Optional[str] = None
@@ -124,10 +134,36 @@ def generate_pairs(data: MultiplexData, cfg: GATNEConfig,
             np.concatenate(types))
 
 
+def generate_padded_pairs(data: MultiplexData, cfg: GATNEConfig,
+                          rng: np.random.Generator):
+    """Per-type walks → padded per-center context rows for the v2
+    masked-BCE pipeline: (centers [P], types [P], contexts [P, 2*window]
+    padded -1) — the framework-side equivalent of Collate_fn's ragged
+    context lists (GATNE_Pytorch/utils/data_utils.py:168-188)."""
+    centers, types, contexts = [], [], []
+    all_walks = _generate_walks(data, cfg, rng)
+    for t, ty in enumerate(data.edge_types):
+        walks = all_walks[ty]
+        c, ctx = centers_and_contexts(walks.astype(np.int64),
+                                      cfg.window, rng)
+        keep = (ctx >= 0).any(axis=1)
+        centers.append(c[keep])
+        contexts.append(ctx[keep])
+        types.append(np.full(keep.sum(), t, np.int32))
+    return (np.concatenate(centers).astype(np.int32),
+            np.concatenate(types),
+            np.concatenate(contexts).astype(np.int32))
+
+
 def train_gatne(data: Optional[MultiplexData] = None,
                 cfg: Optional[GATNEConfig] = None, verbose: bool = False):
     cfg = cfg or GATNEConfig()
     data = data or load_multiplex(seed=cfg.seed)
+    if cfg.loss == "masked_bce":
+        return _train_gatne_masked_bce(data, cfg, verbose)
+    if cfg.loss != "nsloss":
+        raise ValueError(f"loss must be 'nsloss' or 'masked_bce', got "
+                         f"{cfg.loss!r}")
     rng = np.random.default_rng(cfg.seed)
     T = len(data.edge_types)
 
@@ -156,7 +192,8 @@ def train_gatne(data: Optional[MultiplexData] = None,
         attn_dim=cfg.attn_dim, inductive=cfg.inductive,
         feature_dim=(data.features.shape[1]
                      if cfg.inductive and data.features is not None
-                     else None))
+                     else None),
+        aggregator=cfg.aggregator)
     neighbors_j = jnp.asarray(neighbors)
 
     # context table for the sampled-softmax loss (NSLoss,
@@ -202,6 +239,99 @@ def train_gatne(data: Optional[MultiplexData] = None,
                 all_params, opt_state, jnp.asarray(c), jnp.asarray(ctx),
                 jnp.asarray(ty), jnp.asarray(negs.astype(np.int32)),
                 neighbors_j[c])
+            tot += float(loss)
+            nb += 1
+        metrics = evaluate_gatne(model, all_params["model"], data,
+                                 neighbors_j, features, split="valid")
+        history.append((epoch, tot / max(nb, 1), metrics))
+        if verbose:
+            print(f"epoch {epoch}: loss {tot/max(nb,1):.4f} "
+                  f"val {metrics}")
+    test_metrics = evaluate_gatne(model, all_params["model"], data,
+                                  neighbors_j, features, split="test")
+    return all_params, history, test_metrics
+
+
+def _train_gatne_masked_bce(data: MultiplexData, cfg: GATNEConfig,
+                            verbose: bool = False):
+    """v2 Encoder/Decoder pipeline: padded context+negative rows scored
+    against a decoder weight table, per-row masked BCE, AdamW
+    (GATNE_Pytorch/models/GATNE.py:100-127, train_utils/train_eval.py:100,
+    loss_utils.py:4-10). Row loss = sum(BCE·mask)/mask_count — the
+    reference's loss(pred,labels,masks)/masks.sum(1)*masks.shape[1] reduces
+    to exactly this per row."""
+    from ..sampling.skipgram import batchify
+
+    rng = np.random.default_rng(cfg.seed)
+    T = len(data.edge_types)
+    neighbors = build_neighbor_tables(data, cfg.neighbor_samples, rng)
+    centers, types, contexts = generate_padded_pairs(data, cfg, rng)
+    freq = np.bincount(
+        np.concatenate([centers, contexts[contexts >= 0]]),
+        minlength=data.n_nodes)
+    neg_sampler = NegativeSampler(np.maximum(freq, 1))
+
+    features = (jnp.asarray(data.features)
+                if cfg.inductive and data.features is not None else None)
+    model = GATNEModel(
+        vocab_size=data.n_nodes, num_edge_types=T,
+        embed_dim=cfg.embed_dim, edge_embed_dim=cfg.edge_embed_dim,
+        attn_dim=cfg.attn_dim, inductive=cfg.inductive,
+        feature_dim=(data.features.shape[1]
+                     if cfg.inductive and data.features is not None
+                     else None),
+        aggregator=cfg.aggregator)
+    neighbors_j = jnp.asarray(neighbors)
+
+    enc_params = model.init(
+        jax.random.PRNGKey(cfg.seed), jnp.zeros((2,), jnp.int32),
+        jnp.zeros((2,), jnp.int32), neighbors_j[:2], features)["params"]
+    # Decoder weight table (GraphDecoder, GATNE_Pytorch/models/GATNE.py:
+    # 100-114): xavier-uniform over [N, D].
+    lim = float(np.sqrt(6.0 / (data.n_nodes + cfg.embed_dim)))
+    dec = jax.random.uniform(
+        jax.random.PRNGKey(cfg.seed + 1), (data.n_nodes, cfg.embed_dim),
+        minval=-lim, maxval=lim)
+    all_params = {"model": enc_params, "decoder": dec}
+    tx = optax.adamw(cfg.lr)
+    opt_state = tx.init(all_params)
+
+    @jax.jit
+    def step(all_params, opt_state, c, ty, ctx_neg, labels, mask, neigh):
+        def loss_fn(p):
+            emb = model.apply({"params": p["model"]}, c, ty, neigh,
+                              features)                       # [B, D]
+            w = p["decoder"][jnp.maximum(ctx_neg, 0)]         # [B, L, D]
+            logits = jnp.einsum("bd,bld->bl", emb, w)
+            ls = optax.sigmoid_binary_cross_entropy(logits, labels)
+            per_row = (ls * mask).sum(-1) / jnp.maximum(mask.sum(-1), 1.0)
+            return per_row.mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(all_params)
+        updates, opt_state = tx.update(grads, opt_state, all_params)
+        return optax.apply_updates(all_params, updates), opt_state, loss
+
+    history = []
+    K = cfg.num_negatives * contexts.shape[1]
+    for epoch in range(1, cfg.epochs + 1):
+        tot, nb = 0.0, 0
+        for c, ty, ctx in minibatches(
+                (centers, types, contexts), cfg.batch_size, rng):
+            # num_negatives per VALID context (the reference's dataset
+            # builder draws len(context)*num_negatives per center,
+            # utils/data_utils.py:104-151); excess slots pad to -1 and
+            # batchify masks them out.
+            negs = neg_sampler.draw((len(c), K), rng).astype(np.int64)
+            n_ctx = (ctx >= 0).sum(1)
+            slot = np.arange(K)[None, :]
+            negs = np.where(
+                slot < (n_ctx * cfg.num_negatives)[:, None], negs, -1)
+            cc, ctx_neg, labels, mask = batchify(c, ctx, negs)
+            all_params, opt_state, loss = step(
+                all_params, opt_state, jnp.asarray(cc, jnp.int32),
+                jnp.asarray(ty), jnp.asarray(ctx_neg.astype(np.int32)),
+                jnp.asarray(labels), jnp.asarray(mask),
+                neighbors_j[cc])
             tot += float(loss)
             nb += 1
         metrics = evaluate_gatne(model, all_params["model"], data,

@@ -133,6 +133,9 @@ class GATNE(nn.Module):
     attn_dim: int = 32
     inductive: bool = False
     feature_dim: Optional[int] = None
+    # v2's agg_func switch (GATNE_Pytorch/models/GATNE.py:72-77): "mean"
+    # (v1 semantics, GATNE/models/GATNE.py:50-55) or "sum".
+    aggregator: str = "mean"
 
     def setup(self):
         init = nn.initializers.uniform(1.0)
@@ -174,7 +177,14 @@ class GATNE(nn.Module):
         t_idx = jnp.arange(self.num_edge_types)
         neigh_t = neigh[:, t_idx, :, t_idx, :]             # [T, B, S, De]
         neigh_t = jnp.transpose(neigh_t, (1, 0, 2, 3))     # [B, T, S, De]
-        u = neigh_t.mean(axis=2)                           # [B, T, De]
+        if self.aggregator == "sum":
+            u = neigh_t.sum(axis=2)                        # [B, T, De]
+        elif self.aggregator == "mean":
+            u = neigh_t.mean(axis=2)
+        else:
+            raise ValueError(
+                f"aggregator must be 'mean' or 'sum', got "
+                f"{self.aggregator!r}")
 
         # type attention (GATNE.py:64-71), parameters selected by edge_type
         w = self.w_att[edge_type]                          # [B, De, Da]

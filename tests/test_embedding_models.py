@@ -164,3 +164,43 @@ def test_gatne_log_uniform_negative_distribution():
     got = counts[0] / max(counts[31], 1)
     assert 0.6 * expect < got < 1.6 * expect, (expect, got)
     assert counts[0] > counts[-1] > 0
+
+def test_gatne_v2_masked_bce_mode():
+    """v2 Encoder/Decoder pipeline (GATNE_Pytorch/models/GATNE.py:100-127):
+    padded masked-BCE loss trains to useful link-pred quality."""
+    cfg = GATNEConfig(embed_dim=32, edge_embed_dim=8, attn_dim=8,
+                      num_walks=4, walk_length=8, epochs=3,
+                      batch_size=256, lr=1e-2, neighbor_samples=5,
+                      loss="masked_bce")
+    params, history, metrics = train_gatne(cfg=cfg)
+    assert "decoder" in params
+    assert history[-1][1] < history[0][1]        # loss descends
+    assert metrics["f1"] >= 0.6, metrics
+    assert metrics["auc"] > 0.6, metrics
+
+
+def test_gatne_v2_sum_aggregator():
+    """agg_func switch (GATNE_Pytorch/models/GATNE.py:72-77): sum vs mean
+    produce different embeddings but both train."""
+    kw = dict(embed_dim=16, edge_embed_dim=4, attn_dim=4, num_walks=2,
+              walk_length=6, epochs=1, batch_size=256,
+              neighbor_samples=3, loss="masked_bce")
+    _, _, m_sum = train_gatne(cfg=GATNEConfig(aggregator="sum", **kw))
+    _, _, m_mean = train_gatne(cfg=GATNEConfig(aggregator="mean", **kw))
+    assert np.isfinite(m_sum["auc"]) and np.isfinite(m_mean["auc"])
+    assert m_sum["auc"] != m_mean["auc"]  # aggregation actually differs
+
+
+def test_gatne_rejects_unknown_loss_and_aggregator():
+    import pytest
+    with pytest.raises(ValueError):
+        train_gatne(cfg=GATNEConfig(loss="bogus", epochs=1))
+    import jax.numpy as jnp
+    from graphneuralnetwork_tpu.nn.embed import GATNE as GATNEModule
+    m = GATNEModule(vocab_size=4, num_edge_types=1, embed_dim=4,
+                    edge_embed_dim=2, attn_dim=2, aggregator="bogus")
+    import jax
+    with pytest.raises(ValueError):
+        m.init(jax.random.PRNGKey(0), jnp.zeros((1,), jnp.int32),
+               jnp.zeros((1,), jnp.int32),
+               jnp.zeros((1, 1, 2), jnp.int32))
