@@ -35,7 +35,11 @@ def _parse_pubmed_tab(root: str):
     cite_file = os.path.join(root, "Pubmed-Diabetes.DIRECTED.cites.tab")
     with open(node_file) as f:
         lines = f.readlines()
-    feat_names = [w.split(":")[1] for w in lines[1].split()[1:-1]]
+    # Header row 1 declares fields as '<kind>:<name>:<default>'; only the
+    # 'numeric:w-*' fields are features (label:cat and summary:string are
+    # not) — GraphSAGE_Pytorch/data_utils.py:20 keeps len(feat_map)-2.
+    feat_names = [w.split(":")[1] for w in lines[1].split()
+                  if w.startswith("numeric:")]
     fmap = {w: i for i, w in enumerate(feat_names)}
     ids, labels, feats = [], [], []
     id_map = {}

@@ -59,7 +59,7 @@ def _make_tx(cfg: "SageConfig", steps_per_epoch: int):
     return make_optimizer(cfg.optimizer, cfg.lr,
                           weight_decay=cfg.weight_decay,
                           total_steps=cfg.epochs * steps_per_epoch,
-                          warmup_steps=steps_per_epoch)
+                          warmup_steps=steps_per_epoch, momentum=0.9)
 
 
 def _gather_hops(features_dev, hops):
