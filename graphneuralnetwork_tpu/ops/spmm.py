@@ -35,6 +35,10 @@ def spmm(graph, x: jax.Array) -> jax.Array:
     if hasattr(graph, "mesh"):  # ShardedGraph (all_gather)
         from ..parallel.sharded import spmm_sharded
         return spmm_sharded(graph, x)
+    if hasattr(graph, "bcsr"):  # HybridGraph (dense MXU tiles + remainder)
+        from .bcsr_spmm import bcsr_spmm
+        out = bcsr_spmm(graph.bcsr, x, graph.bcsr_t)
+        return out + spmm(graph.rem, x)
     gathered = x[graph.senders] * graph.edge_weight[:, None].astype(x.dtype)
     return aggregate_edges(graph, gathered)
 

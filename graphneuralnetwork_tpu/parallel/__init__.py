@@ -19,8 +19,12 @@ from .multihost import (  # noqa: F401
     process_count,
 )
 from .tp import (  # noqa: F401
+    MODEL_RULES,
+    ShardRule,
     apply_tp,
     gcn_param_shardings,
     make_tp_mesh,
+    model_param_shardings,
+    param_shardings,
     shard_rows,
 )
