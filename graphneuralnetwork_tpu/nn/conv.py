@@ -111,13 +111,14 @@ class GATConv(nn.Module):
             # projections above ran under GSPMD on row-sharded x; the
             # edge-wise part (one all_to_all + receiver-local softmax)
             # runs in shard_map (parallel/halo_attention.py).
-            if self.attn_dropout > 0.0 and not self.deterministic:
-                raise NotImplementedError(
-                    "attention dropout is not supported on HaloGraph "
-                    "(α is never materialised per edge)")
             from ..parallel.halo_attention import gat_halo_attend
-            out = gat_halo_attend(graph, h, f_src, f_dst,
-                                  negative_slope=self.negative_slope)
+            dropping = self.attn_dropout > 0.0 and not self.deterministic
+            out = gat_halo_attend(
+                graph, h, f_src, f_dst,
+                negative_slope=self.negative_slope,
+                attn_dropout=self.attn_dropout if dropping else 0.0,
+                dropout_rng=(self.make_rng("dropout") if dropping
+                             else None))
             if self.concat_heads:
                 return out
             return out.reshape(-1, self.num_heads, self.features).mean(1)
@@ -225,10 +226,13 @@ class SAGEConv(nn.Module):
                 ones = jnp.ones((x.shape[0], 1), x.dtype)
                 counts = jnp.maximum(spmm(graph, ones), 1.0)
                 agg = spmm(graph, x) / counts
+            elif self.aggregator == "max" and hasattr(graph, "halo_size"):
+                from ..parallel.halo import segment_max_halo
+                agg = segment_max_halo(graph, x)
             else:
                 raise NotImplementedError(
                     f"{self.aggregator!r} aggregator is not supported on "
-                    "partitioned graphs")
+                    "this partitioned graph type")
         else:
             msgs = x[graph.senders]
             if self.aggregator == "mean":

@@ -233,6 +233,47 @@ def spmm_halo(hg: HaloGraph, x: jax.Array) -> jax.Array:
              hg.send_idx, x)
 
 
+def segment_max_halo(hg: HaloGraph, x: jax.Array) -> jax.Array:
+    """out[r] = max over in-neighbours' rows — the distributed form of
+    ops.segment_max (SAGE max-pool aggregation,
+    GraphSAGE_Pytorch/models/Aggregator.py:18-33). Same exchange plan as
+    spmm_halo: one all_to_all of boundary rows, then a local masked
+    segment-max over interior ∪ boundary edges; empty segments yield 0
+    (the single-device semantics)."""
+    n_dev = hg.n_devices
+    H = hg.halo_size
+
+    @partial(
+        jax.shard_map, mesh=hg.mesh,
+        in_specs=(P(hg.axis),) * 8,
+        out_specs=P(hg.axis),
+    )
+    def f(si, wi, ri, sb, wb, rb, send_idx_, x_local):
+        si, ri, wi = si[0], ri[0], wi[0]
+        sb, rb, wb = sb[0], rb[0], wb[0]
+        send_idx_ = send_idx_[0]
+
+        sends = x_local[send_idx_.reshape(-1)]
+        halo = jax.lax.all_to_all(
+            sends, hg.axis, split_axis=0, concat_axis=0, tiled=True)
+
+        neg = jnp.finfo(jnp.float32).min
+        nps = hg.nodes_per_shard
+
+        def seg_max(vals, recv, mask):
+            v = jnp.where(mask[:, None], vals.astype(jnp.float32), neg)
+            return jax.ops.segment_max(v, recv, num_segments=nps,
+                                       indices_are_sorted=True)
+
+        m = jnp.maximum(seg_max(x_local[si], ri, wi > 0),
+                        seg_max(halo[sb], rb, wb > 0))
+        return jnp.where(jnp.isfinite(m), m, 0.0).astype(x_local.dtype)
+
+    return f(hg.int_senders, hg.int_weight, hg.int_receivers,
+             hg.bnd_senders, hg.bnd_weight, hg.bnd_receivers,
+             hg.send_idx, x)
+
+
 def shard_nodes_halo(x: np.ndarray, hg: HaloGraph) -> jax.Array:
     x = np.asarray(x)
     pad = hg.n_node_pad - x.shape[0]

@@ -66,6 +66,8 @@ def gat_halo_attend(
     f_dst: jax.Array,
     *,
     negative_slope: float = 0.2,
+    attn_dropout: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Attention + aggregation given per-node projections.
 
@@ -74,17 +76,28 @@ def gat_halo_attend(
     projections happen outside under GSPMD, so flax layers like GATConv
     can compute them normally and only the edge-wise part runs in
     shard_map). Returns [n_node_pad, H·F] row-sharded.
+
+    ``attn_dropout`` implements the reference's dropout on the attention
+    matrix (GAT/models/layers.py:33 F.dropout(attention)) without ever
+    materialising α: each edge's softmax numerator is dropped with a
+    shard-local PRNG (key folded with the mesh axis index) and survivors
+    scale by 1/(1-p); the denominator keeps the full softmax mass —
+    exactly dropout applied to α.
     """
     n_heads, feat = h.shape[1], h.shape[2]
     hf = n_heads * feat
+    if attn_dropout > 0.0 and dropout_rng is None:
+        raise ValueError("attn_dropout > 0 requires dropout_rng")
+    if dropout_rng is None:
+        dropout_rng = jax.random.PRNGKey(0)   # unused when rate == 0
 
     @partial(
         jax.shard_map, mesh=hg.mesh,
-        in_specs=(P(hg.axis),) * 11 + (P(hg.axis),) * 3,
+        in_specs=(P(hg.axis),) * 11 + (P(hg.axis),) * 3 + (P(),),
         out_specs=P(hg.axis),
     )
     def f(si, ri, wi, oi, ci, sb, rb, wb, ob, cb, send_idx_,
-          h_in, fsrc_in, f_dst):
+          h_in, fsrc_in, f_dst, rng_key):
         from ..ops.aggregate import _aggregate_core
 
         si, ri, wi, oi, ci = si[0], ri[0], wi[0], oi[0], ci[0]
@@ -123,6 +136,18 @@ def gat_halo_attend(
                                   indices_are_sorted=True))
         denom = jnp.maximum(denom, 1e-16)
 
+        if attn_dropout > 0.0:
+            # α-dropout: numerators dropped per edge×head, denominator
+            # keeps full mass; shard-local independent streams.
+            local = jax.random.fold_in(rng_key,
+                                       jax.lax.axis_index(hg.axis))
+            ki, kb = jax.random.split(local)
+            keep = 1.0 - attn_dropout
+            e_i = e_i * jax.random.bernoulli(
+                ki, keep, e_i.shape).astype(e_i.dtype) / keep
+            e_b = e_b * jax.random.bernoulli(
+                kb, keep, e_b.shape).astype(e_b.dtype) / keep
+
         # weighted aggregation, all heads in one kernel pass per edge set
         vi = (h[si] * e_i[:, :, None].astype(h.dtype)).reshape(-1, hf)
         num = _aggregate_core(ri, vi, oi, ci, nps, hg.int_max_chunks)
@@ -138,4 +163,4 @@ def gat_halo_attend(
              hg.int_off, hg.int_cnt,
              hg.bnd_senders, hg.bnd_receivers, hg.bnd_weight,
              hg.bnd_off, hg.bnd_cnt,
-             hg.send_idx, h, f_src, f_dst)
+             hg.send_idx, h, f_src, f_dst, dropout_rng)

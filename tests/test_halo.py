@@ -164,3 +164,85 @@ def test_gatconv_model_runs_on_halograph(mesh):
         lambda p, xx: conv.apply({"params": p}, hg, xx))(params, xs)
     np.testing.assert_allclose(np.asarray(out_halo)[:n],
                                np.asarray(out_single), atol=3e-5, rtol=1e-4)
+
+
+def test_segment_max_halo_matches_single(mesh, rng):
+    from graphneuralnetwork_tpu.ops.segment import segment_max
+    from graphneuralnetwork_tpu.parallel.halo import segment_max_halo
+
+    n, e, f = 600, 4000, 16
+    s = rng.integers(0, n, e)
+    r = rng.integers(0, n, e)
+    x = rng.normal(size=(n, f)).astype(np.float32)
+
+    g1 = build_graph(s, r, n)
+    ref = segment_max(jnp.asarray(x)[g1.senders], g1.receivers, n,
+                      mask=g1.edge_mask)
+
+    hg = partition_graph_halo(s, r, n, mesh=mesh)
+    xs = shard_nodes_halo(x, hg)
+    out = jax.jit(segment_max_halo, static_argnums=())(hg, xs)
+    np.testing.assert_allclose(np.asarray(out)[:n], np.asarray(ref),
+                               atol=1e-5)
+
+
+def test_sage_maxpool_on_halograph(mesh, rng):
+    """SAGE max aggregation now runs partitioned (BASELINE 'mean+pool')."""
+    from graphneuralnetwork_tpu.nn.conv import SAGEConv
+
+    n, e, f = 400, 3000, 12
+    s = rng.integers(0, n, e)
+    r = rng.integers(0, n, e)
+    x = rng.normal(size=(n, f)).astype(np.float32)
+
+    g1 = build_graph(s, r, n)
+    model = SAGEConv(features=8, aggregator="max")
+    params = model.init(jax.random.PRNGKey(0), g1, jnp.asarray(x))["params"]
+    ref = model.apply({"params": params}, g1, jnp.asarray(x))
+
+    hg = partition_graph_halo(s, r, n, mesh=mesh)
+    xs = shard_nodes_halo(x, hg)
+    out = model.apply({"params": params}, hg, xs)
+    np.testing.assert_allclose(np.asarray(out)[:n], np.asarray(ref),
+                               atol=1e-4)
+
+
+def test_gat_halo_attention_dropout(mesh, rng):
+    """Reference GAT config (dropout 0.6, GAT/run.py:8-9) on the mesh:
+    dropout=0 matches single device exactly; dropout=0.6 runs, differs,
+    and yields finite grads."""
+    from graphneuralnetwork_tpu.nn.conv import GATConv
+
+    n, e = 384, 2500
+    s = rng.integers(0, n, e)
+    r = rng.integers(0, n, e)
+    x = rng.normal(size=(n, 16)).astype(np.float32)
+
+    g1 = build_graph(s, r, n)
+    model0 = GATConv(features=4, num_heads=2, attn_dropout=0.6,
+                     deterministic=True)
+    params = model0.init(jax.random.PRNGKey(0), g1,
+                         jnp.asarray(x))["params"]
+    ref = model0.apply({"params": params}, g1, jnp.asarray(x))
+
+    hg = partition_graph_halo(s, r, n, mesh=mesh)
+    xs = shard_nodes_halo(x, hg)
+    out_det = model0.apply({"params": params}, hg, xs)
+    np.testing.assert_allclose(np.asarray(out_det)[:n], np.asarray(ref),
+                               atol=2e-4)
+
+    model1 = GATConv(features=4, num_heads=2, attn_dropout=0.6,
+                     deterministic=False)
+    out_drop = model1.apply({"params": params}, hg, xs,
+                            rngs={"dropout": jax.random.PRNGKey(7)})
+    assert np.all(np.isfinite(np.asarray(out_drop)))
+    assert not np.allclose(np.asarray(out_drop)[:n], np.asarray(ref))
+
+    def loss(p):
+        o = model1.apply({"params": p}, hg, xs,
+                         rngs={"dropout": jax.random.PRNGKey(3)})
+        return jnp.sum(o ** 2)
+
+    g = jax.grad(loss)(params)
+    assert all(np.all(np.isfinite(np.asarray(l)))
+               for l in jax.tree_util.tree_leaves(g))
