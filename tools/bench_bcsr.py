@@ -37,7 +37,7 @@ def clustered_graph(n, e, comm=256, p_intra=0.9, seed=0):
     return s[keep].astype(np.int32), r[keep].astype(np.int32)
 
 
-def timed(fn, x0, iters=10):
+def timed(fn, x0, iters=5, tag=""):
     import jax
 
     @jax.jit
@@ -47,8 +47,11 @@ def timed(fn, x0, iters=10):
             x = out * 1e-3 + x * 0.5
         return x
 
+    t0 = time.perf_counter()
     out = chain(x0)
     _ = np.asarray(out[-1, -1])
+    print(f"  [{tag}] compile+warm {time.perf_counter()-t0:.1f}s",
+          flush=True)
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
@@ -103,26 +106,26 @@ def main():
         x0 = jnp.asarray(rng.normal(size=(args.n, args.f)), dt)
 
         set_ops_impl("xla")
-        t = timed(lambda x: spmm(gr, x), x0)
+        t = timed(lambda x: spmm(gr, x), x0, tag=f"coo_xla_{dname}")
         results[f"coo_xla_{dname}"] = t
         print(f"coo    xla    {dname}: {t*1e3:7.2f} ms  "
               f"{e_real/t/1e6:7.1f} Medges/s", flush=True)
 
         if not args.skip_coo_pallas:
             set_ops_impl("pallas")
-            t = timed(lambda x: spmm(gr, x), x0)
+            t = timed(lambda x: spmm(gr, x), x0, tag=f"coo_pallas_{dname}")
             results[f"coo_pallas_{dname}"] = t
             print(f"coo    pallas {dname}: {t*1e3:7.2f} ms  "
                   f"{e_real/t/1e6:7.1f} Medges/s", flush=True)
 
         set_ops_impl("xla")
-        t = timed(lambda x: spmm(hg, x), x0)
+        t = timed(lambda x: spmm(hg, x), x0, tag=f"hyb_xla_{dname}")
         results[f"hyb_xla_{dname}"] = t
         print(f"hybrid xla    {dname}: {t*1e3:7.2f} ms  "
               f"{e_real/t/1e6:7.1f} Medges/s", flush=True)
 
         set_ops_impl("pallas")
-        t = timed(lambda x: spmm(hg, x), x0)
+        t = timed(lambda x: spmm(hg, x), x0, tag=f"hyb_pallas_{dname}")
         results[f"hyb_pallas_{dname}"] = t
         print(f"hybrid pallas {dname}: {t*1e3:7.2f} ms  "
               f"{e_real/t/1e6:7.1f} Medges/s", flush=True)
