@@ -23,17 +23,25 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # (model, cli args, threshold description, check fn over the result dict)
+# 4th optional element: REFERENCE-RECIPE args — a second run under the
+# reference's own optimizer/schedule (SGD + warmup-poly, --optimizer sgd);
+# REPRO.md then shows both columns. HAN's reference epoch count (100,
+# HAN/run.py) underfits the synthetic stand-in under SGD; its reference
+# column runs the same recipe for 400 epochs (documented in the table).
 SPECS = [
     ("gcn", [], "test_acc ≥ 0.80",
      lambda r: r.get("test_acc", 0) >= 0.80),
     ("gat", [], "test_acc ≥ 0.80",
-     lambda r: r.get("test_acc", 0) >= 0.80),
+     lambda r: r.get("test_acc", 0) >= 0.80,
+     ["--optimizer", "sgd"]),
     ("graphsage", [], "test_acc ≥ 0.80",
-     lambda r: r.get("test_acc", 0) >= 0.80),
+     lambda r: r.get("test_acc", 0) >= 0.80,
+     ["--optimizer", "sgd", "--epochs", "50"]),
     ("graphsage_unsup", [], "binary_acc ≥ 0.75",
      lambda r: r.get("binary_acc", 0) >= 0.75),
     ("han", [], "test_acc ≥ 0.80",
-     lambda r: r.get("test_acc", 0) >= 0.80),
+     lambda r: r.get("test_acc", 0) >= 0.80,
+     ["--optimizer", "sgd", "--epochs", "400"]),
     ("han_batch", [], "test_acc ≥ 0.80",
      lambda r: r.get("test_acc", 0) >= 0.80),
     ("gtn", [], "test_acc ≥ 0.80",
@@ -97,31 +105,41 @@ def main(argv=None):
 
     want = set(args.models.split(",")) if args.models else None
     rows = []
-    for name, extra, desc, check in SPECS:
+    for spec in SPECS:
+        name, extra, desc, check = spec[0], spec[1], spec[2], spec[3]
+        ref_extra = spec[4] if len(spec) > 4 else None
         if want and name not in want:
             continue
-        argv_m = ["--model", name, "--quiet", *extra]
-        if args.fast and name in FAST_EPOCHS:
-            argv_m += ["--epochs", str(FAST_EPOCHS[name])]
-        t0 = time.perf_counter()
-        try:
-            res = cli.main(argv_m) or {}
-            # Loss-descent oracle needs BOTH endpoints; a final loss with no
-            # recorded initial loss is inconclusive, never a pass.
-            if ("loss decreases" in desc and "final_loss" in res
-                    and "initial_loss" not in res):
-                ok, err = False, "inconclusive: no initial_loss recorded"
-            else:
-                ok = bool(check(res))
-                err = ""
-        except Exception as e:  # keep going; report the failure
-            res, ok, err = {}, False, f"{type(e).__name__}: {e}"
-        dt = time.perf_counter() - t0
-        rows.append((name, desc, _headline(res) if not err else err,
-                     ok, dt))
+
+        def run_one(extra_args):
+            argv_m = ["--model", name, "--quiet", *extra_args]
+            if args.fast and name in FAST_EPOCHS and \
+                    "--epochs" not in extra_args:
+                argv_m += ["--epochs", str(FAST_EPOCHS[name])]
+            t0 = time.perf_counter()
+            try:
+                res = cli.main(argv_m) or {}
+                if ("loss decreases" in desc and "final_loss" in res
+                        and "initial_loss" not in res):
+                    ok1, err = False, "inconclusive: no initial_loss"
+                else:
+                    ok1, err = bool(check(res)), ""
+            except Exception as e:  # keep going; report the failure
+                res, ok1, err = {}, False, f"{type(e).__name__}: {e}"
+            dt = time.perf_counter() - t0
+            return (_headline(res) if not err else err), ok1, dt
+
+        head, ok, dt = run_one(extra)
+        if ref_extra is not None and not args.fast:
+            ref_head, ref_ok, ref_dt = run_one(ref_extra)
+            ok = ok and ref_ok
+            dt += ref_dt
+        else:
+            ref_head = "—" if ref_extra is None else "(skipped: --fast)"
+        rows.append((name, desc, head, ref_head, ok, dt))
         print(json.dumps({"model": name, "pass": ok,
-                          "seconds": round(dt, 1),
-                          "headline": rows[-1][2]}), flush=True)
+                          "seconds": round(dt, 1), "tpu_fast": head,
+                          "reference_recipe": ref_head}), flush=True)
 
     lines = [
         "# REPRO — reference configs, measured results",
@@ -131,17 +149,25 @@ def main(argv=None):
         + f" on `{_device_str()}`. Each row trains the model through the"
           " public CLI at the reference's hyperparameters (BASELINE.md) on"
           " its loader's reference-shaped synthetic dataset and applies the"
-          " reference's own eval protocol (SURVEY.md §4).",
+          " reference's own eval protocol (SURVEY.md §4). The TPU-fast"
+          " column is the CLI default (AdamW); the reference-recipe column"
+          " re-runs GAT/SAGE/HAN under the reference's own SGD +"
+          " warmup-poly training recipe (`--optimizer sgd`; momentum 0.9"
+          " added — torch's implicit momentum=0 stalls at the reference"
+          " lr; HAN's SGD run extends 100→400 epochs to converge on the"
+          " synthetic stand-in). Pass requires BOTH columns to meet the"
+          " criterion.",
         "",
-        "| Model | Criterion | Result | Pass | Seconds |",
-        "|---|---|---|---|---|",
+        "| Model | Criterion | TPU-fast result | Reference-recipe result"
+        " | Pass | Seconds |",
+        "|---|---|---|---|---|---|",
     ]
-    for name, desc, headline, ok, dt in rows:
-        lines.append(f"| {name} | {desc} | {headline} |"
+    for name, desc, head, ref_head, ok, dt in rows:
+        lines.append(f"| {name} | {desc} | {head} | {ref_head} |"
                      f" {'✅' if ok else '❌'} | {dt:.1f} |")
     with open(args.out, "w") as f:
         f.write("\n".join(lines) + "\n")
-    n_ok = sum(1 for r in rows if r[3])
+    n_ok = sum(1 for r in rows if r[4])
     print(f"{n_ok}/{len(rows)} passed -> {args.out}")
     return 0 if n_ok == len(rows) else 1
 
