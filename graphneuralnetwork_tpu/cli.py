@@ -56,6 +56,12 @@ def main(argv=None):
                          "recipe (SGD + warmup-poly schedule with the "
                          "reference lr, GAT/train_eval.py:9-33,54, "
                          "HAN/run.py:10-11, GraphSAGE_Pytorch/run.py:8-10)")
+    ap.add_argument("--layout", choices=["coo", "hybrid"],
+                    default="coo",
+                    help="graph layout for gcn: 'hybrid' = locality-"
+                         "clustered dense-tile BCSR + COO remainder "
+                         "(core/bcsr.py; 2.9-3.9x SpMM on clustered "
+                         "graphs)")
     ap.add_argument("--dtype", choices=["float32", "bfloat16"],
                     default="float32",
                     help="compute dtype for gcn/gat/graphsage/han/gtn "
@@ -82,10 +88,13 @@ def main(argv=None):
         import jax.numpy as jnp
         cdtype = jnp.bfloat16 if args.dtype == "bfloat16" else None
 
+        layout = args.layout if name == "gcn" else "coo"
         if args.dataset in ("cora", "citeseer"):   # named synthetic preset
-            data = load_cora(name=args.dataset, seed=args.seed)
+            data = load_cora(name=args.dataset, seed=args.seed,
+                             layout=layout)
         else:
-            data = load_cora(root=args.dataset, seed=args.seed)
+            data = load_cora(root=args.dataset, seed=args.seed,
+                             layout=layout)
         from .train.schedule import make_optimizer
         opt_name = args.optimizer or "adamw"
         if name == "gcn":

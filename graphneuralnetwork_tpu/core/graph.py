@@ -253,6 +253,31 @@ def gcn_graph(
     return build_graph(s, r, n_nodes, w, **kwargs)
 
 
+def gcn_graph_hybrid(
+    senders: np.ndarray, receivers: np.ndarray, n_nodes: int,
+):
+    """GCN adjacency on the locality/BCSR fast path: cluster-reorder the
+    nodes (core/reorder.py), then densify well-filled 128×128 tiles with a
+    COO remainder (core/bcsr.py) — 2.9×/3.9× (f32/bf16) the COO path on
+    clustered graphs (PERF_NOTES round 3).
+
+    Returns ``(hybrid_graph, perm)`` with ``perm[new] = old``: the caller
+    must permute node features/labels by ``perm`` and map index arrays
+    through ``invert_permutation(perm)``. The sym-normalised adjacency is
+    symmetric, so the forward tiles double as the backward operator.
+    """
+    from .bcsr import build_hybrid
+    from .reorder import locality_order, relabel_edges
+
+    s, r = symmetrize(np.asarray(senders, np.int32),
+                      np.asarray(receivers, np.int32))
+    s, r = add_self_loops(s, r, n_nodes)
+    perm = locality_order(s, r, n_nodes)
+    s, r = relabel_edges(perm, s, r)
+    w = sym_normalize_weights(s, r, n_nodes)
+    return build_hybrid(s, r, n_nodes, w, symmetric=True), perm
+
+
 def csr_offsets(receivers: np.ndarray, n_nodes: int) -> np.ndarray:
     """Row offsets for receiver-sorted edges: int32[n_nodes+1]."""
     counts = np.bincount(receivers, minlength=n_nodes)

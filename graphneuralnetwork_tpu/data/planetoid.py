@@ -102,11 +102,18 @@ _SHAPES = {
 
 
 def load_cora(root: str | None = None, name: str = "cora",
-              seed: int = 0) -> NodeClassificationData:
+              seed: int = 0,
+              layout: str = "coo") -> NodeClassificationData:
     """Load Cora/Citeseer (or compatible .content/.cites dataset), else
     synthesise at the named dataset's exact shape.
 
     Split indices follow GCN/data_utils.py:80-82 exactly.
+
+    ``layout="hybrid"`` builds the locality-clustered BCSR fast path
+    (core/bcsr.py): nodes are relabelled by the clustering permutation,
+    features/labels are permuted to match, and the split index arrays are
+    mapped through the inverse — models and accuracies are unchanged,
+    only the SpMM gets faster on clustered graphs.
     """
     if root is not None and os.path.exists(
             os.path.join(root, f"{name}.content")):
@@ -116,16 +123,33 @@ def load_cora(root: str | None = None, name: str = "cora",
             seed=seed, **_SHAPES.get(name, _SHAPES["cora"]))
 
     n = feats.shape[0]
-    graph = gcn_graph(s, r, n)
     feats = row_normalize_features(feats)
     num_classes = int(labels.max()) + 1
+    train_idx = np.arange(0, 140, dtype=np.int32)
+    val_idx = np.arange(200, 500, dtype=np.int32)
+    test_idx = np.arange(500, 1500, dtype=np.int32)
+
+    if layout == "hybrid":
+        from ..core.graph import gcn_graph_hybrid
+        from ..core.reorder import invert_permutation
+        graph, perm = gcn_graph_hybrid(s, r, n)
+        inv = invert_permutation(perm)
+        feats = feats[perm]
+        labels = labels[perm]
+        train_idx = inv[train_idx].astype(np.int32)
+        val_idx = inv[val_idx].astype(np.int32)
+        test_idx = inv[test_idx].astype(np.int32)
+        s, r = inv[s].astype(np.int32), inv[r].astype(np.int32)
+    else:
+        assert layout == "coo", layout
+        graph = gcn_graph(s, r, n)
     return NodeClassificationData(
         graph=graph,
         features=jnp.asarray(feats),
         labels=jnp.asarray(labels),
-        train_idx=jnp.arange(0, 140, dtype=jnp.int32),
-        val_idx=jnp.arange(200, 500, dtype=jnp.int32),
-        test_idx=jnp.arange(500, 1500, dtype=jnp.int32),
+        train_idx=jnp.asarray(train_idx),
+        val_idx=jnp.asarray(val_idx),
+        test_idx=jnp.asarray(test_idx),
         num_classes=num_classes,
         raw_senders=s, raw_receivers=r,
     )

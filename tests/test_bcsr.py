@@ -197,3 +197,25 @@ def test_bcsr_store_guard():
     r = rng.integers(0, n, e).astype(np.int32)
     with pytest.raises(ValueError, match="lacks block locality"):
         build_bcsr(s, r, n, max_bytes=64 << 20)
+
+
+def test_gcn_trains_on_hybrid_layout():
+    """load_cora(layout='hybrid') permutes nodes + splits consistently and
+    the GCN trains to the same quality as on the COO layout."""
+    import optax
+    from graphneuralnetwork_tpu.data import load_cora
+    from graphneuralnetwork_tpu.nn import GCN
+    from graphneuralnetwork_tpu.train.scan_loop import (
+        fit_node_classifier_scan)
+
+    accs = {}
+    for layout in ("coo", "hybrid"):
+        data = load_cora(seed=0, layout=layout)
+        model = GCN(hidden=16, num_classes=data.num_classes, dropout=0.0)
+        res = fit_node_classifier_scan(
+            model, data, epochs=100,
+            optimizer=optax.adamw(2e-2, weight_decay=5e-4),
+            epochs_per_call=50, patience_calls=3, seed=0)
+        accs[layout] = res.test_acc
+    assert accs["hybrid"] >= accs["coo"] - 0.03, accs
+    assert accs["hybrid"] > 0.8
