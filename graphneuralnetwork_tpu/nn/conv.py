@@ -216,10 +216,11 @@ class SAGEConv(nn.Module):
     def __call__(self, graph: Graph, x: jax.Array) -> jax.Array:
         if self.dtype is not None:
             x = x.astype(self.dtype)
-        if hasattr(graph, "halo_size") or hasattr(graph, "mesh"):
-            # Partitioned graphs: mean/sum ride the dispatching spmm
-            # (weights are 1 on real edges, 0 on padding). max has no
-            # distributed segment-max — unsupported here.
+        if (hasattr(graph, "halo_size") or hasattr(graph, "mesh")
+                or hasattr(graph, "bcsr")):
+            # Partitioned/tiled graphs: mean/sum ride the dispatching spmm
+            # (weights are 1 on real edges, 0 on padding); max is
+            # distributed on HaloGraph only.
             if self.aggregator == "sum":
                 agg = spmm(graph, x)
             elif self.aggregator == "mean":

@@ -219,3 +219,32 @@ def test_gcn_trains_on_hybrid_layout():
         accs[layout] = res.test_acc
     assert accs["hybrid"] >= accs["coo"] - 0.03, accs
     assert accs["hybrid"] > 0.8
+
+
+def test_sageconv_on_hybrid_graph():
+    """SAGEConv mean/sum dispatch through the hybrid tiles and match the
+    COO layer (unit edge weights)."""
+    from graphneuralnetwork_tpu.core.bcsr import build_hybrid
+    from graphneuralnetwork_tpu.core.graph import build_graph
+    from graphneuralnetwork_tpu.nn.conv import SAGEConv
+
+    rng = np.random.default_rng(0)
+    n, comm, e = 512, 128, 16000
+    s = rng.integers(0, n, e)
+    r = np.where(rng.random(e) < 0.9,
+                 (s // comm) * comm + rng.integers(0, comm, e),
+                 rng.integers(0, n, e))
+    keep = s != r
+    s, r = s[keep].astype(np.int32), r[keep].astype(np.int32)
+    x = rng.normal(size=(n, 12)).astype(np.float32)
+
+    g1 = build_graph(s, r, n)
+    hg = build_hybrid(s, r, n, min_edges_per_tile=64)
+    for aggr in ("mean", "sum"):
+        conv = SAGEConv(features=6, aggregator=aggr)
+        params = conv.init(jax.random.PRNGKey(0), g1,
+                           jnp.asarray(x))["params"]
+        out1 = conv.apply({"params": params}, g1, jnp.asarray(x))
+        out2 = conv.apply({"params": params}, hg, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(out2), np.asarray(out1),
+                                   atol=1e-4, rtol=1e-4, err_msg=aggr)
