@@ -67,6 +67,12 @@ class HaloGraph:
     bnd_max_chunks: int = dataclasses.field(metadata=dict(static=True))
     axis: str = dataclasses.field(metadata=dict(static=True))
     mesh: Mesh = dataclasses.field(metadata=dict(static=True))
+    # OPTIONAL tiled interior (core/bcsr.py brought to the sharded path):
+    # per shard, the well-filled interior blocks as dense 128×128 tiles;
+    # the straggler interior edges remain in int_* above. None = pure COO.
+    int_tiles: Optional[jax.Array] = None      # f32[D, T, 128, 128]
+    int_tile_col: Optional[jax.Array] = None   # int32[D, T]
+    int_tile_row: Optional[jax.Array] = None   # int32[D, T]
 
     @property
     def n_devices(self):
@@ -77,7 +83,14 @@ def partition_graph_halo(
     senders: np.ndarray, receivers: np.ndarray, n_nodes: int,
     edge_weight: Optional[np.ndarray] = None, *,
     mesh: Mesh, axis: str = "data",
+    tiled_interior: bool = False, min_edges_per_tile: int = 192,
 ) -> HaloGraph:
+    """``tiled_interior=True`` additionally densifies each shard's
+    well-filled interior (receiver-local × sender-local) 128×128 blocks
+    into MXU tiles (core/bcsr.py brought to the sharded path) — the
+    multi-chip composition of the two fast paths: boundary rows ride the
+    all_to_all, the clustered interior mass rides dense tile matmuls, and
+    only straggler interior edges take the COO kernel."""
     n_dev = mesh.shape[axis]
     senders = np.asarray(senders, np.int64).ravel()
     receivers = np.asarray(receivers, np.int64).ravel()
@@ -106,6 +119,49 @@ def partition_graph_halo(
                    if p != d else np.zeros(0, np.int64))
             nd.append(ids)
         need.append(nd)
+
+    # Optional interior tiling: per shard, move edges in well-filled
+    # (row_block, col_block) blocks into dense tiles; keep the rest COO.
+    TILES = TCOL = TROW = None
+    if tiled_interior:
+        from ..core.bcsr import COL_BLOCK as CB, ROW_BLOCK as RB
+
+        n_cb_loc = nps // CB
+        per_shard = []
+        for sh in shards:
+            si, ri, wi = sh["si"], sh["ri"], sh["wi"]
+            key = (ri // RB) * n_cb_loc + (si // CB)
+            uniq, inv_k, cnt = np.unique(
+                key, return_inverse=True, return_counts=True) \
+                if len(key) else (np.zeros(0, np.int64),
+                                  np.zeros(0, np.int64),
+                                  np.zeros(0, np.int64))
+            dense = (cnt[inv_k] >= min_edges_per_tile) if len(key) else \
+                np.zeros(0, bool)
+            dkey = key[dense]
+            duniq, dinv = (np.unique(dkey, return_inverse=True)
+                           if dense.any() else
+                           (np.zeros(0, np.int64), np.zeros(0, np.int64)))
+            t = np.zeros((max(len(duniq), 1), RB, CB), np.float32)
+            if dense.any():
+                np.add.at(t, (dinv, ri[dense] % RB, si[dense] % CB),
+                          wi[dense])
+            trow = (duniq // n_cb_loc).astype(np.int32) \
+                if len(duniq) else np.zeros(1, np.int32)
+            tcol = (duniq % n_cb_loc).astype(np.int32) \
+                if len(duniq) else np.zeros(1, np.int32)
+            per_shard.append((t, tcol, trow))
+            # stragglers stay on the COO interior path
+            sh["si"], sh["ri"], sh["wi"] = \
+                si[~dense], ri[~dense], wi[~dense]
+        T = max(t.shape[0] for t, _, _ in per_shard)
+        TILES = np.zeros((n_dev, T, RB, CB), np.float32)
+        TCOL = np.zeros((n_dev, T), np.int32)
+        TROW = np.zeros((n_dev, T), np.int32)
+        for d, (t, tcol, trow) in enumerate(per_shard):
+            TILES[d, : t.shape[0]] = t
+            TCOL[d, : len(tcol)] = tcol
+            TROW[d, : len(trow)] = trow
 
     H = max(
         max((len(ids) for nd in need for ids in nd), default=1), 1)
@@ -185,6 +241,9 @@ def partition_graph_halo(
         nodes_per_shard=int(nps), halo_size=int(H),
         int_max_chunks=int(mc_i), bnd_max_chunks=int(mc_b),
         axis=axis, mesh=mesh,
+        int_tiles=put(TILES) if TILES is not None else None,
+        int_tile_col=put(TCOL) if TCOL is not None else None,
+        int_tile_row=put(TROW) if TROW is not None else None,
     )
 
 
@@ -199,13 +258,16 @@ def spmm_halo(hg: HaloGraph, x: jax.Array) -> jax.Array:
 
     n_dev = hg.n_devices
     H = hg.halo_size
+    tiled = hg.int_tiles is not None
+    n_extra = 3 if tiled else 0
 
     @partial(
         jax.shard_map, mesh=hg.mesh,
-        in_specs=(P(hg.axis),) * 12,
+        in_specs=(P(hg.axis),) * (12 + n_extra),
         out_specs=P(hg.axis),
     )
-    def f(si, ri, wi, oi, ci, sb, rb, wb, ob, cb, send_idx_, x_local):
+    def f(si, ri, wi, oi, ci, sb, rb, wb, ob, cb, send_idx_, x_local,
+          *tile_args):
         si, ri, wi, oi, ci = si[0], ri[0], wi[0], oi[0], ci[0]
         sb, rb, wb, ob, cb = sb[0], rb[0], wb[0], ob[0], cb[0]
         send_idx_ = send_idx_[0]                      # [D, H]
@@ -220,17 +282,40 @@ def spmm_halo(hg: HaloGraph, x: jax.Array) -> jax.Array:
         out = _aggregate_core(ri, vi, oi, ci,
                               hg.nodes_per_shard, hg.int_max_chunks)
 
+        if tiled:
+            # dense-tile interior (core/bcsr.py on the local block):
+            # block gather → batched MXU matmul → block segment-sum.
+            from ..core.bcsr import COL_BLOCK as CB, ROW_BLOCK as RB
+            tiles, tcol, trow = (a[0] for a in tile_args)
+            f_dim = x_local.shape[1]
+            xb = x_local.reshape(hg.nodes_per_shard // CB, CB, f_dim)
+            gath = xb[tcol]                           # [T, CB, F]
+            prec = (jax.lax.Precision.HIGHEST
+                    if x_local.dtype == jnp.float32
+                    else jax.lax.Precision.DEFAULT)
+            prod = jnp.einsum("trc,tcf->trf",
+                              tiles.astype(x_local.dtype), gath,
+                              precision=prec,
+                              preferred_element_type=jnp.float32)
+            outb = jax.ops.segment_sum(
+                prod, trow, num_segments=hg.nodes_per_shard // RB,
+                indices_are_sorted=True)
+            out = out + outb.reshape(hg.nodes_per_shard,
+                                     f_dim).astype(out.dtype)
+
         # boundary aggregation from halo slots
         vb = halo[sb] * wb[:, None].astype(x_local.dtype)
         out = out + _aggregate_core(rb, vb, ob, cb,
                                     hg.nodes_per_shard, hg.bnd_max_chunks)
         return out
 
+    extra = ((hg.int_tiles, hg.int_tile_col, hg.int_tile_row)
+             if tiled else ())
     return f(hg.int_senders, hg.int_receivers, hg.int_weight,
              hg.int_off, hg.int_cnt,
              hg.bnd_senders, hg.bnd_receivers, hg.bnd_weight,
              hg.bnd_off, hg.bnd_cnt,
-             hg.send_idx, x)
+             hg.send_idx, x, *extra)
 
 
 def segment_max_halo(hg: HaloGraph, x: jax.Array) -> jax.Array:

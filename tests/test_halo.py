@@ -291,3 +291,38 @@ def test_halo_weak_scaling_traffic_model(mesh, rng):
     # up): 2 -> 8 devices must grow the ratio by less than the 4x device
     # factor.
     assert ratios[-1] < 4 * ratios[0], ratios
+
+
+def test_halo_tiled_interior_matches_plain(mesh, rng):
+    """tiled_interior=True (dense local tiles + COO stragglers + halo
+    boundary) reproduces the plain halo SpMM and the single-device result,
+    forward and grad, on a community graph."""
+    n, comm = 1024, 128
+    e = 40000
+    s = rng.integers(0, n, e)
+    r = np.where(rng.random(e) < 0.9,
+                 (s // comm) * comm + rng.integers(0, comm, e),
+                 rng.integers(0, n, e))
+    keep = s != r
+    s, r = s[keep].astype(np.int64), r[keep].astype(np.int64)
+    w = rng.random(len(s)).astype(np.float32)
+    x = rng.normal(size=(n, 16)).astype(np.float32)
+
+    g1 = build_graph(s.astype(np.int32), r.astype(np.int32), n, w)
+    ref = spmm(g1, jnp.asarray(x))
+
+    hg = partition_graph_halo(s, r, n, w, mesh=mesh,
+                              tiled_interior=True, min_edges_per_tile=32)
+    assert hg.int_tiles is not None
+    assert float(np.asarray(hg.int_tiles).sum()) != 0.0  # tiles in use
+    xs = shard_nodes_halo(x, hg)
+    out = jax.jit(spmm_halo)(hg, xs)
+    np.testing.assert_allclose(np.asarray(out)[:n], np.asarray(ref),
+                               atol=1e-4)
+
+    g_halo = jax.grad(
+        lambda xx: jnp.sum(jnp.tanh(spmm_halo(hg, xx))[:n]))(xs)
+    g_ref = jax.grad(
+        lambda xx: jnp.sum(jnp.tanh(spmm(g1, xx))))(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(g_halo)[:n], np.asarray(g_ref),
+                               atol=1e-4)
