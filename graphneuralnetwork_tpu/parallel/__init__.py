@@ -8,7 +8,10 @@ from .sharded import (  # noqa: F401
 from .halo_attention import gat_halo, gat_halo_attend  # noqa: F401
 from .halo import (  # noqa: F401
     HaloGraph,
+    boundary_edge_fraction,
     partition_graph_halo,
+    partition_graph_halo_clustered,
+    segment_max_halo,
     shard_nodes_halo,
     spmm_halo,
 )

@@ -247,6 +247,55 @@ def partition_graph_halo(
     )
 
 
+def partition_graph_halo_clustered(
+    senders: np.ndarray, receivers: np.ndarray, n_nodes: int,
+    edge_weight: Optional[np.ndarray] = None, *,
+    mesh: Mesh, axis: str = "data",
+    tiled_interior: bool = True, min_edges_per_tile: int = 192,
+):
+    """Locality-cluster the nodes first (core/reorder.py), THEN partition:
+    contiguous shard slices then align with communities, so far fewer
+    edges cross shards (lower ICI traffic) and the interior tiles densify.
+    This is the graph analogue of METIS-partition-then-distribute.
+
+    Returns ``(halo_graph, perm)`` with ``perm[new] = old`` — permute node
+    features/labels by ``perm`` before ``shard_nodes_halo``.
+    """
+    from ..core.reorder import cluster_order, rcm_order, relabel_edges
+
+    # Pick the ordering that minimises CROSS-SHARD edges (the partition
+    # objective — different from BCSR's tile-count objective): label-
+    # propagation for community graphs, RCM for banded ones.
+    n_dev = mesh.shape[axis]
+    nps = _round_up(max(n_nodes, 1), ROW_BLOCK * n_dev) // n_dev
+    best_perm, best_cross = None, None
+    for cand in (cluster_order(senders, receivers, n_nodes),
+                 rcm_order(senders, receivers, n_nodes)):
+        s2, r2 = relabel_edges(cand, senders, receivers)
+        cross = int(np.sum((s2 // nps) != (r2 // nps)))
+        if best_cross is None or cross < best_cross:
+            best_perm, best_cross = cand, cross
+    perm = best_perm
+    s2, r2 = relabel_edges(perm, senders, receivers)
+    hg = partition_graph_halo(
+        s2, r2, n_nodes, edge_weight, mesh=mesh, axis=axis,
+        tiled_interior=tiled_interior,
+        min_edges_per_tile=min_edges_per_tile)
+    return hg, perm
+
+
+def boundary_edge_fraction(hg: HaloGraph) -> float:
+    """Fraction of real edges whose sender lives on another shard — the
+    quantity that bounds ICI traffic (PERF_NOTES SCALING)."""
+    bnd = int(np.asarray((hg.bnd_weight != 0).sum()))
+    interior = int(np.asarray((hg.int_weight != 0).sum()))
+    tiled = 0
+    if hg.int_tiles is not None:
+        tiled = int(np.asarray((hg.int_tiles != 0).sum()))
+    total = bnd + interior + tiled
+    return bnd / max(total, 1)
+
+
 def spmm_halo(hg: HaloGraph, x: jax.Array) -> jax.Array:
     """out = Â @ x with x sharded P(axis) on rows.
 

@@ -79,3 +79,9 @@ def test_make_optimizer_warmup_poly_matches_reference_factors():
     import math
     assert abs(float(sched(jnp.asarray(6)))
                - (0.4 / 0.8) ** 0.9) < 1e-5
+
+
+def test_cli_gcn_hybrid_layout():
+    res = main(["--model", "gcn", "--epochs", "60", "--quiet",
+                "--layout", "hybrid"])
+    assert res["test_acc"] > 0.3

@@ -326,3 +326,42 @@ def test_halo_tiled_interior_matches_plain(mesh, rng):
         lambda xx: jnp.sum(jnp.tanh(spmm(g1, xx))))(jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(g_halo)[:n], np.asarray(g_ref),
                                atol=1e-4)
+
+
+def test_clustered_partition_cuts_boundary_and_matches(mesh, rng):
+    """partition_graph_halo_clustered: community graph with SHUFFLED node
+    ids — clustering before slicing must cut the boundary fraction well
+    below the naive contiguous partition, and SpMM must still match after
+    the permutation round-trip."""
+    from graphneuralnetwork_tpu.core.reorder import invert_permutation
+    from graphneuralnetwork_tpu.parallel import (
+        boundary_edge_fraction, partition_graph_halo_clustered)
+
+    n, comm, e = 2048, 256, 40000
+    shuffle = rng.permutation(n)
+    inv_sh = np.empty(n, np.int64)
+    inv_sh[shuffle] = np.arange(n)
+    s0 = rng.integers(0, n, e)
+    r0 = np.where(rng.random(e) < 0.95,
+                  (s0 // comm) * comm + rng.integers(0, comm, e),
+                  rng.integers(0, n, e))
+    keep = s0 != r0
+    # hide the communities behind a random labelling
+    s = shuffle[s0[keep]].astype(np.int64)
+    r = shuffle[r0[keep]].astype(np.int64)
+    w = rng.random(len(s)).astype(np.float32)
+    x = rng.normal(size=(n, 8)).astype(np.float32)
+
+    naive = partition_graph_halo(s, r, n, w, mesh=mesh)
+    hg, perm = partition_graph_halo_clustered(s, r, n, w, mesh=mesh)
+    bf_naive = boundary_edge_fraction(naive)
+    bf_clustered = boundary_edge_fraction(hg)
+    assert bf_clustered < bf_naive / 3, (bf_naive, bf_clustered)
+    assert hg.int_tiles is not None     # interiors densified
+
+    inv = invert_permutation(perm)
+    xs = shard_nodes_halo(x[perm], hg)
+    out = np.asarray(jax.jit(spmm_halo)(hg, xs))[:n]
+    ref = np.asarray(spmm(build_graph(
+        s.astype(np.int32), r.astype(np.int32), n, w), jnp.asarray(x)))
+    np.testing.assert_allclose(out[inv[np.arange(n)]], ref, atol=1e-4)
