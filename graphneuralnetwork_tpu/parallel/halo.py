@@ -374,6 +374,11 @@ def segment_max_halo(hg: HaloGraph, x: jax.Array) -> jax.Array:
     spmm_halo: one all_to_all of boundary rows, then a local masked
     segment-max over interior ∪ boundary edges; empty segments yield 0
     (the single-device semantics)."""
+    if hg.int_tiles is not None:
+        raise ValueError(
+            "segment-max cannot read summed tile weights — the tiled "
+            "interior edges would be dropped; partition with "
+            "tiled_interior=False for max aggregation")
     n_dev = hg.n_devices
     H = hg.halo_size
 

@@ -86,6 +86,11 @@ def gat_halo_attend(
     """
     n_heads, feat = h.shape[1], h.shape[2]
     hf = n_heads * feat
+    if hg.int_tiles is not None:
+        raise ValueError(
+            "attention needs per-edge scores — dense interior tiles carry "
+            "only static weights, so the tiled edges would be dropped; "
+            "partition with tiled_interior=False for GAT/attention layers")
     if attn_dropout > 0.0 and dropout_rng is None:
         raise ValueError("attn_dropout > 0 requires dropout_rng")
     if dropout_rng is None:

@@ -365,3 +365,26 @@ def test_clustered_partition_cuts_boundary_and_matches(mesh, rng):
     ref = np.asarray(spmm(build_graph(
         s.astype(np.int32), r.astype(np.int32), n, w), jnp.asarray(x)))
     np.testing.assert_allclose(out[inv[np.arange(n)]], ref, atol=1e-4)
+
+
+def test_tiled_partition_rejects_attention_and_max(mesh, rng):
+    """Per-edge-score ops must refuse a tiled partition instead of
+    silently dropping the tiled interior edges."""
+    from graphneuralnetwork_tpu.parallel import segment_max_halo
+    from graphneuralnetwork_tpu.parallel.halo_attention import (
+        gat_halo_attend)
+
+    n, e = 512, 8000
+    s = rng.integers(0, n, e)
+    r = (s // 128) * 128 + rng.integers(0, 128, e)
+    hg = partition_graph_halo(s, r, n, mesh=mesh, tiled_interior=True,
+                              min_edges_per_tile=16)
+    assert hg.int_tiles is not None
+    x = jnp.zeros((hg.n_node_pad, 4))
+    with pytest.raises(ValueError, match="tiled_interior=False"):
+        segment_max_halo(hg, shard_nodes_halo(np.zeros((n, 4), np.float32),
+                                              hg))
+    h = jnp.zeros((hg.n_node_pad, 2, 2))
+    f = jnp.zeros((hg.n_node_pad, 2))
+    with pytest.raises(ValueError, match="tiled_interior=False"):
+        gat_halo_attend(hg, h, f, f)
