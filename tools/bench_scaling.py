@@ -51,15 +51,22 @@ def _build_inputs(n_nodes, n_edges, f, n_parts=1, cross_frac=0.05, seed=0,
     return s, r, w, x
 
 
-def _time_spmm(mesh, s, r, w, x, n_nodes, iters=8):
+def _time_spmm(mesh, s, r, w, x, n_nodes, iters=8,
+               clustered_partition=False):
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from graphneuralnetwork_tpu.parallel import (
-        partition_graph_halo, shard_nodes_halo, spmm_halo)
+        partition_graph_halo, partition_graph_halo_clustered,
+        shard_nodes_halo, spmm_halo)
 
-    hg = partition_graph_halo(s, r, n_nodes, w, mesh=mesh)
+    if clustered_partition and mesh.devices.size > 1:
+        hg, perm = partition_graph_halo_clustered(s, r, n_nodes, w,
+                                                  mesh=mesh)
+        x = x[perm]
+    else:
+        hg = partition_graph_halo(s, r, n_nodes, w, mesh=mesh)
     xs = shard_nodes_halo(x, hg)
     # ICI-traffic structure: what fraction of edges need remote senders,
     # and how many rows each device ships per layer. On real pods this —
@@ -102,8 +109,12 @@ def main(argv=None):
     ap.add_argument("--nodes-per-dev", type=int, default=16384)
     ap.add_argument("--edges-per-dev", type=int, default=262144)
     ap.add_argument("--features", type=int, default=128)
-    ap.add_argument("--graph", choices=["clustered", "random"],
-                    default="clustered")
+    ap.add_argument("--graph", choices=["clustered", "random", "shuffled"],
+                    default="clustered",
+                    help="'shuffled' hides a community structure behind "
+                         "random node ids and partitions via "
+                         "partition_graph_halo_clustered (cluster → slice "
+                         "→ tiled interiors) — the full locality pipeline")
     ap.add_argument("--cross-frac", type=float, default=0.05)
     args = ap.parse_args(argv)
 
@@ -129,9 +140,18 @@ def main(argv=None):
         s, r, w, x = _build_inputs(
             n_nodes, n_edges, args.features, n_parts=nd,
             cross_frac=args.cross_frac,
-            clustered=(args.graph == "clustered"))
+            clustered=(args.graph != "random"))
+        if args.graph == "shuffled":
+            # hide the structure; the clustered partitioner must recover it
+            rng_sh = np.random.default_rng(7)
+            shuffle = rng_sh.permutation(n_nodes)
+            s, r = shuffle[s], shuffle[r]
+            inv = np.argsort(shuffle)
+            x = x[inv]          # feature row of new id j = old node inv[j]
         mesh = Mesh(np.array(jax.devices()[:nd]), ("data",))
-        t, stats = _time_spmm(mesh, s, r, w, x, n_nodes)
+        t, stats = _time_spmm(mesh, s, r, w, x, n_nodes,
+                              clustered_partition=(args.graph ==
+                                                   "shuffled"))
         if t1 is None:
             t1 = t
             eff = 1.0
