@@ -1,0 +1,73 @@
+"""Run-to-run determinism — the functional-JAX answer to race detection
+(SURVEY.md §5: the reference has no sanitizers; here the guarantee is
+bitwise reproducibility under a fixed seed, which CI can assert).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from graphneuralnetwork_tpu.data import load_cora
+from graphneuralnetwork_tpu.nn import GCN
+from graphneuralnetwork_tpu.train.scan_loop import fit_node_classifier_scan
+
+
+def test_training_is_bitwise_deterministic():
+    """Same seed → identical params and history, including dropout."""
+    data = load_cora(seed=0)
+
+    def run():
+        model = GCN(hidden=16, num_classes=data.num_classes, dropout=0.5)
+        return fit_node_classifier_scan(
+            model, data, epochs=50, optimizer=optax.adamw(2e-2),
+            epochs_per_call=25, patience_calls=9, seed=3)
+
+    r1, r2 = run(), run()
+    assert r1.history == r2.history
+    for a, b in zip(jax.tree_util.tree_leaves(r1.best_params),
+                    jax.tree_util.tree_leaves(r2.best_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_device_sampling_deterministic_per_key():
+    from graphneuralnetwork_tpu.sampling import csr_from_edges
+    from graphneuralnetwork_tpu.sampling.device_neighbor import (
+        build_device_neighbor_table, device_multihop_sampling)
+
+    rng = np.random.default_rng(0)
+    n = 200
+    s = rng.integers(0, n, 2000)
+    r = rng.integers(0, n, 2000)
+    indptr, indices, _ = csr_from_edges(s, r, n)
+    table, deg = build_device_neighbor_table(indptr, indices)
+    nodes = jnp.arange(16, dtype=jnp.int32)
+    h1 = device_multihop_sampling(jax.random.PRNGKey(5), nodes, (4, 4),
+                                  table, deg)
+    h2 = device_multihop_sampling(jax.random.PRNGKey(5), nodes, (4, 4),
+                                  table, deg)
+    h3 = device_multihop_sampling(jax.random.PRNGKey(6), nodes, (4, 4),
+                                  table, deg)
+    for a, b in zip(h1, h2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert any(not np.array_equal(np.asarray(a), np.asarray(b))
+               for a, b in zip(h1, h3))
+
+
+def test_host_walkers_deterministic_per_seed():
+    """numpy and native walkers both reproduce per seed (the native
+    engine's per-seed test lives in test_native; this covers the
+    dispatching API)."""
+    from graphneuralnetwork_tpu.sampling import csr_from_edges, uniform_walks
+
+    rng = np.random.default_rng(0)
+    n = 100
+    s = rng.integers(0, n, 1000)
+    r = rng.integers(0, n, 1000)
+    indptr, indices, _ = csr_from_edges(s, r, n)
+    starts = np.arange(50)
+    w1 = uniform_walks(indptr, indices, starts, 8,
+                       np.random.default_rng(7))
+    w2 = uniform_walks(indptr, indices, starts, 8,
+                       np.random.default_rng(7))
+    np.testing.assert_array_equal(w1, w2)
