@@ -85,3 +85,20 @@ def test_cli_gcn_hybrid_layout():
     res = main(["--model", "gcn", "--epochs", "60", "--quiet",
                 "--layout", "hybrid"])
     assert res["test_acc"] > 0.3
+
+
+def test_repro_harness_fast_smoke(tmp_path):
+    """The accuracy-repro harness itself (row generation, criteria,
+    markdown output) — fast subset; the full run is the committed
+    REPRO.md."""
+    import sys
+    sys.path.insert(0, "tools")
+    import repro_accuracy
+
+    out = str(tmp_path / "REPRO_test.md")
+    rc = repro_accuracy.main(["--fast", "--models", "line,basis",
+                              "--out", out])
+    assert rc == 0
+    text = open(out).read()
+    assert "| line |" in text and "| basis |" in text
+    assert "❌" not in text
