@@ -106,6 +106,23 @@ class GATConv(nn.Module):
         f_src = jnp.einsum("nhf,hf->nh", hf, a_src)
         f_dst = jnp.einsum("nhf,hf->nh", hf, a_dst)
 
+        if hasattr(graph, "bcsr"):
+            # HybridGraph: softmax attention on the dense MXU tiles +
+            # COO remainder — exact softmax over all edges, no per-edge
+            # [E, H, F] tensor (ops/bcsr_attention.py).
+            from ..ops.bcsr_attention import gat_tiled_attend
+            dropping = self.attn_dropout > 0.0 and not self.deterministic
+            out = gat_tiled_attend(
+                graph, h, f_src, f_dst,
+                negative_slope=self.negative_slope,
+                attn_dropout=self.attn_dropout if dropping else 0.0,
+                dropout_rng=(self.make_rng("dropout") if dropping
+                             else None))
+            if self.concat_heads:
+                return out.reshape(x.shape[0],
+                                   self.num_heads * self.features)
+            return out.mean(axis=1)
+
         if hasattr(graph, "halo_size"):
             # HaloGraph: edge-partitioned multi-chip attention — the dense
             # projections above ran under GSPMD on row-sharded x; the
@@ -230,6 +247,9 @@ class SAGEConv(nn.Module):
             elif self.aggregator == "max" and hasattr(graph, "halo_size"):
                 from ..parallel.halo import segment_max_halo
                 agg = segment_max_halo(graph, x)
+            elif self.aggregator == "max" and hasattr(graph, "bcsr"):
+                from ..ops.bcsr_attention import hybrid_segment_max
+                agg = hybrid_segment_max(graph, x)
             else:
                 raise NotImplementedError(
                     f"{self.aggregator!r} aggregator is not supported on "

@@ -1,0 +1,499 @@
+"""Tiled graph attention: GAT softmax-aggregation on dense MXU tiles.
+
+Extends the hybrid BCSR layout (core/bcsr.py) to *per-step dynamic* edge
+scores.  The COO attention path gathers one x row per edge — with H heads
+it materialises an [E, H, F] tensor (8.6 GB for 2M edges × 8 heads × 128
+features f32), which is both the HBM-traffic wall measured for SpMM
+(PERF_NOTES.md) and a memory cliff.  The tiled path never materialises
+per-edge anything:
+
+GAT's additive score (``GAT/models/layers.py:105-108``, decomposed as
+``a·[Wh_s ‖ Wh_r] = f_src[s] + f_dst[r]``) is an OUTER SUM over a dense
+tile — for tile t with receiver rows i and sender cols j,
+
+    S[i, j] = LeakyReLU(f_dst[row_i] + f_src[col_j])
+
+so the whole softmax-weighted aggregation becomes, per tile,
+
+    P = W_t ⊙ exp(S − m_rows)        # W_t = dense tile (edge counts)
+    num_block += P @ x_block         # MXU
+    den_block += P · 1               # row sums
+
+with the global per-(node, head) softmax max ``m`` computed exactly and
+cheaply first: LeakyReLU is monotone, so
+
+    max_{s ∈ N(r)} LeakyReLU(f_dst[r] + f_src[s])
+        = LeakyReLU(f_dst[r] + max_{s ∈ N(r)} f_src[s])
+
+i.e. one *scalar-per-node* neighbor-max pass (``bcsr_neighbor_max``, which
+reads tiles but not x) replaces the per-edge segment-max.  The COO
+remainder (stragglers outside well-filled tiles) contributes to the same
+m / numerator / denominator through the existing edge-wise ops, so the
+result is the exact softmax over ALL edges — equal to ``edge_softmax`` +
+``spmm_weighted`` on the full COO graph (parity-tested).
+
+Attention dropout follows the halo path's numerator-masking design
+(parallel/halo_attention.py): α is never materialised, so the Bernoulli
+mask multiplies the numerator term P/keep while the denominator keeps the
+full P — algebraically identical to dropping the normalised α.  Tile-slot
+masks derive from one uint32 lattice per tile (an explicit operand, so
+forward and backward see identical masks by construction); per-head
+streams are decorrelated by wrapping multiplication with distinct odd
+constants (a bijection on uint32, so each stream stays uniform).
+
+Backward: custom VJP.  ``m`` is a stop-gradient (softmax shift
+invariance), tiles are constants; gradients w.r.t. x / f_src / f_dst run
+through the chunk-scanned XLA formulation under jax.checkpoint, which
+bounds residual memory to one tile chunk.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.bcsr import COL_BLOCK, ROW_BLOCK, BCSRGraph, HybridGraph
+
+NEG = -1e30  # "-inf" stand-in that survives f32 arithmetic
+
+# Odd multipliers decorrelating per-head dropout streams from one uint32
+# lattice per tile slot.
+_HEAD_MULS = np.uint32(
+    [0x9E3779B1 * (2 * h + 1) & 0xFFFFFFFF for h in range(64)])
+
+
+def _pad_rows(v: jax.Array, n_pad: int) -> jax.Array:
+    if v.shape[0] == n_pad:
+        return v
+    return jnp.pad(v, ((0, n_pad - v.shape[0]),) + ((0, 0),) * (v.ndim - 1))
+
+
+def _leaky(v, slope):
+    return jnp.where(v > 0, v, slope * v)
+
+
+def _keep_thresh(keep_prob: float) -> np.uint32:
+    return np.uint32(min(int(round(keep_prob * 2.0 ** 32)), 2 ** 32 - 1))
+
+
+def _head_keep(bits: jax.Array, h: int, keep_prob: float) -> jax.Array:
+    """Per-head Bernoulli(keep_prob) from the shared uint32 lattice.
+
+    Wrapping-multiply by a per-head odd constant is a bijection (keeps the
+    stream uniform) but leaves heads linearly related; the xorshift-mul
+    avalanche rounds break that relation (measured joint keep rate matches
+    the product of marginals to <1e-3)."""
+    v = bits * jnp.uint32(_HEAD_MULS[h])
+    v = v ^ (v >> jnp.uint32(13))
+    v = v * jnp.uint32(0x5BD1E995)
+    v = v ^ (v >> jnp.uint32(15))
+    return v < jnp.uint32(_keep_thresh(keep_prob))
+
+
+def _chunked(arr_len: int, per_item_bytes: int, target: int = 1 << 26):
+    """(chunk, n_chunks) bounding scan-step memory to ~``target`` bytes."""
+    chunk = max(int(target // max(per_item_bytes, 1)), 1)
+    chunk = min(chunk, max(arr_len, 1))
+    n_chunks = -(-arr_len // chunk)
+    return chunk, n_chunks
+
+
+def _pad_tiles(bg: BCSRGraph, extra, chunk: int):
+    """Pad tile arrays to a multiple of ``chunk`` (zero tiles are inert)."""
+    t = bg.tiles.shape[0]
+    t_pad = -(-t // chunk) * chunk
+    tiles, col_ids, row_ids = bg.tiles, bg.col_ids, bg.row_ids
+    if t_pad != t:
+        tiles = jnp.pad(tiles, ((0, t_pad - t), (0, 0), (0, 0)))
+        col_ids = jnp.pad(col_ids, (0, t_pad - t))
+        row_ids = jnp.pad(row_ids, (0, t_pad - t))
+        extra = [jnp.pad(e, ((0, t_pad - t),) + ((0, 0),) * (e.ndim - 1))
+                 for e in extra]
+    return tiles, col_ids, row_ids, extra
+
+
+# ---------------------------------------------------------------------------
+# neighbor-max over tiles (the softmax stabiliser; also SAGE max-pool)
+# ---------------------------------------------------------------------------
+
+
+def bcsr_neighbor_max(bg: BCSRGraph, v: jax.Array) -> jax.Array:
+    """max over tiled in-neighbors: out[r, c] = max_{s: W[r,s]≠0} v[s, c].
+
+    Returns ``NEG`` where a node has no tiled in-edges (callers combine
+    with the COO remainder before substituting an empty-segment default).
+    XLA formulation; the [chunk, RB, CB, C] select-max fuses into the
+    reduction so only the [chunk, CB, C] gather materialises.
+    """
+    n_rb = bg.n_node_pad // ROW_BLOCK
+    c = v.shape[1]
+    vb = _pad_rows(v.astype(jnp.float32), bg.n_node_pad)
+    vb = vb.reshape(-1, COL_BLOCK, c)
+
+    chunk, n_chunks = _chunked(bg.tiles.shape[0],
+                               ROW_BLOCK * COL_BLOCK * c * 4, 1 << 27)
+    tiles, col_ids, row_ids, _ = _pad_tiles(bg, [], chunk)
+
+    def body(out, xs):
+        w, cid, rid = xs
+        gath = vb[cid]                                     # [c, CB, C]
+        mask = (w != 0)[:, :, :, None]                     # [c, RB, CB, 1]
+        contrib = jnp.max(jnp.where(mask, gath[:, None, :, :], NEG),
+                          axis=2)                          # [c, RB, C]
+        return out.at[rid].max(contrib), None
+
+    out0 = jnp.full((n_rb, ROW_BLOCK, c), NEG, jnp.float32)
+    out, _ = jax.lax.scan(
+        body, out0,
+        (tiles.reshape(n_chunks, chunk, ROW_BLOCK, COL_BLOCK),
+         col_ids.reshape(n_chunks, chunk),
+         row_ids.reshape(n_chunks, chunk)))
+    return out.reshape(-1, c)[: bg.n_nodes]
+
+
+def hybrid_segment_max(hg: HybridGraph, x: jax.Array,
+                       empty_value: float = 0.0) -> jax.Array:
+    """Per-node max over ALL in-neighbors of a HybridGraph (tiles + COO
+    remainder) — SAGE max-pool aggregation (``GraphSAGE_Pytorch/models/
+    Aggregator.py:18-33``) on the tiled layout.  Nodes with no in-edges
+    get ``empty_value`` (matching ops.segment.segment_max)."""
+    tmax = bcsr_neighbor_max(hg.bcsr, x.astype(jnp.float32))
+    rem = hg.rem
+    gathered = jnp.where(rem.edge_mask[:, None],
+                         x.astype(jnp.float32)[rem.senders], NEG)
+    rmax = jax.ops.segment_max(gathered, rem.receivers,
+                               num_segments=rem.n_nodes,
+                               indices_are_sorted=True)
+    out = jnp.maximum(tmax, rmax)
+    out = jnp.where(out > NEG / 2, out, empty_value)
+    return out.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# tiled softmax numerator / denominator — XLA chunk-scan formulation
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.checkpoint, static_argnums=(7, 8))
+def _parts_chunk(w, cid, rid, bits, x2, fsb, fdb_mb, slope, keep_prob):
+    """One tile chunk → (num_c [c,RB,H,F], den_c [c,RB,H])."""
+    fdb, mb = fdb_mb
+    fs = fsb[cid]                                      # [c, CB, H]
+    fd = fdb[rid]                                      # [c, RB, H]
+    m = mb[rid]                                        # [c, RB, H]
+    s = _leaky(fd[:, :, None, :] + fs[:, None, :, :], slope)
+    s = s - m[:, :, None, :]
+    p = w[:, :, :, None] * jnp.exp(jnp.where(s > 0, 0.0, s))
+    den_c = p.sum(axis=2)                              # [c, RB, H]
+    if keep_prob < 1.0:
+        heads = p.shape[-1]
+        keep = jnp.stack([_head_keep(bits, h, keep_prob)
+                          for h in range(heads)], axis=-1)
+        p = jnp.where(keep, p / keep_prob, 0.0)
+    xg = x2[cid]                                       # [c, CB, H, F]
+    num_c = jnp.einsum(
+        "trch,tchf->trhf", p.astype(x2.dtype), xg,
+        precision=(jax.lax.Precision.HIGHEST if x2.dtype == jnp.float32
+                   else jax.lax.Precision.DEFAULT),
+        preferred_element_type=jnp.float32)
+    return num_c, den_c
+
+
+def _parts_xla(bg, bits, x, f_src, f_dst, m, slope, keep_prob):
+    n, heads, feat = x.shape
+    n_pad = bg.n_node_pad
+    x2 = _pad_rows(x, n_pad).reshape(-1, COL_BLOCK, heads, feat)
+    fsb = _pad_rows(f_src.astype(jnp.float32), n_pad)
+    fsb = fsb.reshape(-1, COL_BLOCK, heads)
+    fdb = _pad_rows(f_dst.astype(jnp.float32), n_pad)
+    fdb = fdb.reshape(-1, ROW_BLOCK, heads)
+    mb = _pad_rows(m, n_pad).reshape(-1, ROW_BLOCK, heads)
+
+    per_tile = ROW_BLOCK * COL_BLOCK * heads * 4 * 2
+    chunk, n_chunks = _chunked(bg.tiles.shape[0], per_tile)
+    tiles, col_ids, row_ids, (bits,) = _pad_tiles(bg, [bits], chunk)
+    n_rb = n_pad // ROW_BLOCK
+
+    def body(carry, xs):
+        num, den = carry
+        w, cid, rid, b = xs
+        num_c, den_c = _parts_chunk(w, cid, rid, b, x2, fsb, (fdb, mb),
+                                    slope, keep_prob)
+        return (num.at[rid].add(num_c), den.at[rid].add(den_c)), None
+
+    num0 = jnp.zeros((n_rb, ROW_BLOCK, heads, feat), jnp.float32)
+    den0 = jnp.zeros((n_rb, ROW_BLOCK, heads), jnp.float32)
+    (num, den), _ = jax.lax.scan(
+        body, (num0, den0),
+        (tiles.reshape(n_chunks, chunk, ROW_BLOCK, COL_BLOCK),
+         col_ids.reshape(n_chunks, chunk),
+         row_ids.reshape(n_chunks, chunk),
+         bits.reshape((n_chunks, chunk) + bits.shape[1:])))
+    return (num.reshape(-1, heads, feat)[:n],
+            den.reshape(-1, heads)[:n])
+
+
+# ---------------------------------------------------------------------------
+# Pallas forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _attend_body(tile_ref, bits_ref, x_ref, fs_ref, fd_ref, m_ref,
+                 num_ref, den_ref, *, heads, feat, slope, keep_prob):
+    w = tile_ref[0]                                    # [RB, CB] f32
+    dens = []
+    for h in range(heads):
+        fd = fd_ref[h][:, None]                        # [RB, 1]
+        fs = fs_ref[h][None, :]                        # [1, CB]
+        s = _leaky(fd + fs, slope) - m_ref[h][:, None]
+        p = w * jnp.exp(jnp.where(s > 0, 0.0, s))      # [RB, CB]
+        dens.append(p.sum(axis=1))
+        if keep_prob < 1.0:
+            keep = _head_keep(bits_ref[0], h, keep_prob)
+            p = jnp.where(keep, p * (1.0 / keep_prob), 0.0)
+        acc = jax.lax.dot_general(
+            p.astype(x_ref.dtype), x_ref[:, h * feat:(h + 1) * feat],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=(jax.lax.Precision.HIGHEST
+                       if x_ref.dtype == jnp.float32
+                       else jax.lax.Precision.DEFAULT),
+            preferred_element_type=jnp.float32)
+        num_ref[h] += acc
+    den_ref[:] += jnp.stack(dens, axis=0)              # [H, RB]
+
+
+def _attend_kernel(off_ref, cnt_ref, col_ref, *refs, heads, feat, slope,
+                   keep_prob, has_bits):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    if has_bits:
+        tile_ref, bits_ref, x_ref, fs_ref, fd_ref, m_ref, num_ref, \
+            den_ref = refs
+    else:
+        tile_ref, x_ref, fs_ref, fd_ref, m_ref, num_ref, den_ref = refs
+        bits_ref = None
+
+    @pl.when(j == 0)
+    def _():
+        num_ref[:] = jnp.zeros_like(num_ref)
+        den_ref[:] = jnp.zeros_like(den_ref)
+
+    @pl.when(j < cnt_ref[i])
+    def _():
+        _attend_body(tile_ref, bits_ref, x_ref, fs_ref, fd_ref, m_ref,
+                     num_ref, den_ref, heads=heads, feat=feat,
+                     slope=slope, keep_prob=keep_prob)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "feat", "n_node_pad",
+                                             "max_tiles", "slope",
+                                             "keep_prob"))
+def _parts_pallas(tiles, col_ids, tile_off, tile_cnt, bits, x2f, fsp, fdp,
+                  mp, heads, feat, n_node_pad, max_tiles, slope,
+                  keep_prob):
+    """fsp/fdp/mp: [H, N_pad] (head-major — row reads in the kernel);
+    x2f: [N_pad, H·F]. Returns num [H, N_pad, F], den [H, N_pad]."""
+    n_rb = n_node_pad // ROW_BLOCK
+    t_pad = tiles.shape[0]
+    hf = heads * feat
+    has_bits = keep_prob < 1.0
+
+    def tile_map(i, j, off, cnt, col):
+        last = off[i] + jnp.maximum(cnt[i], 1) - 1
+        t = jnp.minimum(jnp.minimum(off[i] + j, last), t_pad - 1)
+        return (t, 0, 0)
+
+    def col2_map(i, j, off, cnt, col):
+        last = off[i] + jnp.maximum(cnt[i], 1) - 1
+        t = jnp.minimum(jnp.minimum(off[i] + j, last), t_pad - 1)
+        return (col[t], 0)
+
+    def colh_map(i, j, off, cnt, col):
+        last = off[i] + jnp.maximum(cnt[i], 1) - 1
+        t = jnp.minimum(jnp.minimum(off[i] + j, last), t_pad - 1)
+        return (0, col[t])
+
+    in_specs = [
+        pl.BlockSpec((1, ROW_BLOCK, COL_BLOCK), tile_map,
+                     memory_space=pltpu.VMEM),
+    ]
+    inputs = [tiles]
+    if has_bits:
+        in_specs.append(pl.BlockSpec((1, ROW_BLOCK, COL_BLOCK), tile_map,
+                                     memory_space=pltpu.VMEM))
+        inputs.append(bits)
+    in_specs += [
+        pl.BlockSpec((COL_BLOCK, hf), col2_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((heads, COL_BLOCK), colh_map,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((heads, ROW_BLOCK), lambda i, j, o, c, cl: (0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((heads, ROW_BLOCK), lambda i, j, o, c, cl: (0, i),
+                     memory_space=pltpu.VMEM),
+    ]
+    inputs += [x2f, fsp, fdp, mp]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_rb, max_tiles),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((heads, ROW_BLOCK, feat),
+                         lambda i, j, o, c, cl: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((heads, ROW_BLOCK),
+                         lambda i, j, o, c, cl: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    kernel = functools.partial(
+        _attend_kernel, heads=heads, feat=feat, slope=slope,
+        keep_prob=keep_prob, has_bits=has_bits)
+    num, den = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((heads, n_node_pad, feat), jnp.float32),
+            jax.ShapeDtypeStruct((heads, n_node_pad), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * t_pad * ROW_BLOCK * COL_BLOCK * hf,
+            bytes_accessed=(t_pad * ROW_BLOCK * COL_BLOCK
+                            * (8 if has_bits else 4)
+                            + t_pad * COL_BLOCK * hf * x2f.dtype.itemsize
+                            + n_node_pad * hf * 4),
+            transcendentals=t_pad * ROW_BLOCK * COL_BLOCK * heads,
+        ),
+    )(tile_off, tile_cnt, col_ids, *inputs)
+    return num, den
+
+
+def _tile_parts_impl(bg: BCSRGraph, bits, x, f_src, f_dst, m, slope,
+                     keep_prob):
+    """Dispatch Pallas/XLA; returns (num [N,H,F] f32, den [N,H] f32)."""
+    from . import _use_pallas
+
+    n, heads, feat = x.shape
+    n_pad = bg.n_node_pad
+    if _use_pallas(x):
+        x2f = _pad_rows(x.reshape(n, heads * feat), n_pad)
+        fsp = _pad_rows(f_src.astype(jnp.float32), n_pad).T
+        fdp = _pad_rows(f_dst.astype(jnp.float32), n_pad).T
+        mp = _pad_rows(m, n_pad).T
+        num, den = _parts_pallas(
+            bg.tiles, bg.col_ids, bg.tile_off, bg.tile_cnt, bits, x2f,
+            fsp, fdp, mp, heads, feat, n_pad, bg.max_tiles, float(slope),
+            float(keep_prob))
+        return (jnp.moveaxis(num, 0, 1)[:n], den.T[:n])
+    return _parts_xla(bg, bits, x, f_src, f_dst, m, float(slope),
+                      float(keep_prob))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _tile_parts(bg, bits, x, f_src, f_dst, m, slope, keep_prob):
+    return _tile_parts_impl(bg, bits, x, f_src, f_dst, m, slope, keep_prob)
+
+
+def _tile_parts_fwd(bg, bits, x, f_src, f_dst, m, slope, keep_prob):
+    out = _tile_parts_impl(bg, bits, x, f_src, f_dst, m, slope, keep_prob)
+    return out, (bg, bits, x, f_src, f_dst, m)
+
+
+def _tile_parts_bwd(slope, keep_prob, res, g):
+    bg, bits, x, f_src, f_dst, m = res
+
+    # The XLA chunk-scan path (checkpointed) defines the gradient; `bits`
+    # is the same operand the forward consumed, so dropout masks match.
+    _, vjp = jax.vjp(
+        lambda xx, fs, fd: _parts_xla(bg, bits, xx, fs, fd, m, slope,
+                                      keep_prob),
+        x, f_src, f_dst)
+    dx, dfs, dfd = vjp(g)
+
+    def zeros(tree):
+        return jax.tree_util.tree_map(
+            lambda a: (np.zeros(a.shape, jax.dtypes.float0)
+                       if jnp.issubdtype(a.dtype, jnp.integer)
+                       else jnp.zeros_like(a)), tree)
+
+    return (zeros(bg), zeros(bits), dx, dfs, dfd, jnp.zeros_like(m))
+
+
+_tile_parts.defvjp(_tile_parts_fwd, _tile_parts_bwd)
+
+
+# ---------------------------------------------------------------------------
+# public entry: full hybrid GAT attention
+# ---------------------------------------------------------------------------
+
+
+def gat_tiled_attend(hg: HybridGraph, x: jax.Array, f_src: jax.Array,
+                     f_dst: jax.Array, *, negative_slope: float = 0.2,
+                     attn_dropout: float = 0.0, dropout_rng=None
+                     ) -> jax.Array:
+    """Softmax attention aggregation over a HybridGraph.
+
+    ``x``: [N, H, F] projected features; ``f_src``/``f_dst``: [N, H]
+    per-node attention logits.  Returns [N, H, F] — exactly
+    ``spmm_weighted(g, edge_softmax(g, scores), x)`` on the equivalent
+    full COO graph (``GAT/models/layers.py:94-131`` semantics; duplicate
+    edges contribute once per multiplicity via the tile counts and the
+    remainder's edge weights).  Build the hybrid with unit edge weights
+    (``build_hybrid(s, r, n)``) — GAT's adjacency is binary.
+    """
+    rem = hg.rem
+    bg = hg.bcsr
+    n, heads, feat = x.shape
+    fs32 = f_src.astype(jnp.float32)
+    fd32 = f_dst.astype(jnp.float32)
+
+    # --- exact softmax max via the monotone-LeakyReLU reduction ---
+    nmax_t = bcsr_neighbor_max(bg, fs32)                       # [N, H]
+    gathered = jnp.where(rem.edge_mask[:, None], fs32[rem.senders], NEG)
+    nmax_r = jax.ops.segment_max(gathered, rem.receivers,
+                                 num_segments=n,
+                                 indices_are_sorted=True)
+    nmax = jnp.maximum(nmax_t, nmax_r)
+    m = _leaky(fd32 + nmax, negative_slope)
+    m = jnp.where(nmax > NEG / 2, m, 0.0)
+    m = jax.lax.stop_gradient(m)
+
+    dropping = attn_dropout > 0.0 and dropout_rng is not None
+    keep_prob = 1.0 - attn_dropout if dropping else 1.0
+
+    # --- tiled part ---
+    if dropping:
+        bits = jax.random.bits(
+            jax.random.fold_in(dropout_rng, 0),
+            (bg.tiles.shape[0], ROW_BLOCK, COL_BLOCK), jnp.uint32)
+    else:
+        # inert placeholder (keep_prob == 1 paths never read it)
+        bits = jnp.zeros((bg.tiles.shape[0], 1, 1), jnp.uint32)
+    num, den = _tile_parts(bg, bits, x, f_src, f_dst, m,
+                           float(negative_slope), float(keep_prob))
+
+    # --- COO remainder ---
+    from .aggregate import aggregate_edges
+    from .spmm import sddmm_additive, spmm_weighted
+
+    s_rem = sddmm_additive(rem.senders, rem.receivers, fs32, fd32)
+    s_rem = _leaky(s_rem, negative_slope) - m[rem.receivers]
+    s_rem = jnp.where(s_rem > 0, 0.0, s_rem)
+    w_rem = rem.edge_weight[:, None] * rem.edge_mask[:, None]
+    p_rem = w_rem * jnp.exp(s_rem)                             # [E, H]
+    den = den + aggregate_edges(rem, p_rem)
+    if dropping:
+        keep = jax.random.bernoulli(
+            jax.random.fold_in(dropout_rng, 1), keep_prob, p_rem.shape)
+        p_num = jnp.where(keep, p_rem / keep_prob, 0.0)
+    else:
+        p_num = p_rem
+    num = num + spmm_weighted(rem, p_num.astype(x.dtype), x)
+
+    out = num / jnp.maximum(den, 1e-16)[:, :, None]
+    return out.astype(x.dtype)
