@@ -410,21 +410,25 @@ def segment_max_halo(hg: HaloGraph, x: jax.Array) -> jax.Array:
     GraphSAGE_Pytorch/models/Aggregator.py:18-33). Same exchange plan as
     spmm_halo: one all_to_all of boundary rows, then a local masked
     segment-max over interior ∪ boundary edges; empty segments yield 0
-    (the single-device semantics)."""
-    if hg.int_tiles is not None:
-        raise ValueError(
-            "segment-max cannot read summed tile weights — the tiled "
-            "interior edges would be dropped; partition with "
-            "tiled_interior=False for max aggregation")
+    (the single-device semantics).  On tiled partitions the dense-tile
+    interior contributes a shard-local masked tile max (the multi-chip
+    form of ops.bcsr_attention.bcsr_neighbor_max)."""
+    tiled = hg.int_tiles is not None
+    n_extra = 3 if tiled else 0
     n_dev = hg.n_devices
     H = hg.halo_size
 
     @partial(
         jax.shard_map, mesh=hg.mesh,
-        in_specs=(P(hg.axis),) * 8,
+        in_specs=(P(hg.axis),) * (8 + n_extra),
         out_specs=P(hg.axis),
     )
-    def f(si, wi, ri, sb, wb, rb, send_idx_, x_local):
+    def f(si, wi, ri, sb, wb, rb, send_idx_, *rest):
+        if tiled:
+            tiles, tcol, trow = (a[0] for a in rest[:3])
+            x_local = rest[3]
+        else:
+            (x_local,) = rest
         si, ri, wi = si[0], ri[0], wi[0]
         sb, rb, wb = sb[0], rb[0], wb[0]
         send_idx_ = send_idx_[0]
@@ -443,11 +447,25 @@ def segment_max_halo(hg: HaloGraph, x: jax.Array) -> jax.Array:
 
         m = jnp.maximum(seg_max(x_local[si], ri, wi > 0),
                         seg_max(halo[sb], rb, wb > 0))
+        if tiled:
+            from ..core.bcsr import COL_BLOCK as CBK, ROW_BLOCK as RBK
+            xb = x_local.astype(jnp.float32).reshape(
+                nps // CBK, CBK, x_local.shape[1])
+            gath = xb[tcol]                               # [T, CB, F]
+            tmask = (tiles != 0)[:, :, :, None]
+            contrib = jnp.max(
+                jnp.where(tmask, gath[:, None, :, :], neg), axis=2)
+            tmax = jax.ops.segment_max(
+                contrib, trow, num_segments=nps // RBK,
+                indices_are_sorted=True).reshape(nps, x_local.shape[1])
+            m = jnp.maximum(m, tmax)
         return jnp.where(jnp.isfinite(m), m, 0.0).astype(x_local.dtype)
 
+    extra = ((hg.int_tiles, hg.int_tile_col, hg.int_tile_row)
+             if tiled else ())
     return f(hg.int_senders, hg.int_weight, hg.int_receivers,
              hg.bnd_senders, hg.bnd_weight, hg.bnd_receivers,
-             hg.send_idx, x)
+             hg.send_idx, *extra, x)
 
 
 def shard_nodes_halo(x: np.ndarray, hg: HaloGraph) -> jax.Array:

@@ -28,10 +28,16 @@ from jax.sharding import PartitionSpec as P
 from .halo import HaloGraph
 
 
-def _seg_max(scores, seg, n, mask):
+def _seg_max_raw(scores, seg, n, mask):
     neg = jnp.finfo(jnp.float32).min
     s = jnp.where(mask[:, None], scores, neg)
-    m = jax.ops.segment_max(s, seg, num_segments=n, indices_are_sorted=True)
+    return jax.ops.segment_max(s, seg, num_segments=n,
+                               indices_are_sorted=True)
+
+
+def _seg_max(scores, seg, n, mask):
+    neg = jnp.finfo(jnp.float32).min
+    m = _seg_max_raw(scores, seg, n, mask)
     return jnp.where(m > neg / 2, m, 0.0)
 
 
@@ -86,11 +92,8 @@ def gat_halo_attend(
     """
     n_heads, feat = h.shape[1], h.shape[2]
     hf = n_heads * feat
-    if hg.int_tiles is not None:
-        raise ValueError(
-            "attention needs per-edge scores — dense interior tiles carry "
-            "only static weights, so the tiled edges would be dropped; "
-            "partition with tiled_interior=False for GAT/attention layers")
+    tiled = hg.int_tiles is not None
+    n_extra = 3 if tiled else 0
     if attn_dropout > 0.0 and dropout_rng is None:
         raise ValueError("attn_dropout > 0 requires dropout_rng")
     if dropout_rng is None:
@@ -98,13 +101,19 @@ def gat_halo_attend(
 
     @partial(
         jax.shard_map, mesh=hg.mesh,
-        in_specs=(P(hg.axis),) * 11 + (P(hg.axis),) * 3 + (P(),),
+        in_specs=(P(hg.axis),) * (11 + n_extra) + (P(hg.axis),) * 3
+        + (P(),),
         out_specs=P(hg.axis),
     )
     def f(si, ri, wi, oi, ci, sb, rb, wb, ob, cb, send_idx_,
-          h_in, fsrc_in, f_dst, rng_key):
+          *rest):
         from ..ops.aggregate import _aggregate_core
 
+        if tiled:
+            tiles, tcol, trow = (a[0] for a in rest[:3])
+            h_in, fsrc_in, f_dst, rng_key = rest[3:]
+        else:
+            h_in, fsrc_in, f_dst, rng_key = rest
         si, ri, wi, oi, ci = si[0], ri[0], wi[0], oi[0], ci[0]
         sb, rb, wb, ob, cb = sb[0], rb[0], wb[0], ob[0], cb[0]
         send_idx_ = send_idx_[0]                       # [D, H_halo]
@@ -129,9 +138,32 @@ def gat_halo_attend(
         sc_b = jax.nn.leaky_relu(
             halo_fs[sb] + f_dst[rb], negative_slope)     # [Eb, H]
 
-        # receiver-local stable softmax across interior + boundary edges
-        m = jnp.maximum(_seg_max(sc_i, ri, nps, mask_i),
-                        _seg_max(sc_b, rb, nps, mask_b))  # [nps, H]
+        # receiver-local softmax max across interior + boundary + tiled
+        # edges (raw NEG for empty segments; default 0 applied after the
+        # three-way combine so a tiles-only receiver still gets its true
+        # max).
+        neg = jnp.finfo(jnp.float32).min
+        m = jnp.maximum(
+            _seg_max_raw(sc_i, ri, nps, mask_i),
+            _seg_max_raw(sc_b, rb, nps, mask_b))          # [nps, H]
+        if tiled:
+            # Tiled interior scores are the outer sum f_dst[row]+f_src[col]
+            # over each dense tile (ops/bcsr_attention.py, shard-local):
+            # the per-row max rides LeakyReLU's monotonicity —
+            # max leaky(fd + fs) = leaky(fd + max fs) over tile neighbors.
+            from ..core.bcsr import COL_BLOCK as CBK, ROW_BLOCK as RBK
+            fs_blk = f_src.reshape(nps // CBK, CBK, n_heads)
+            gath_fs = fs_blk[tcol]                        # [T, CB, H]
+            tmask = (tiles != 0)[:, :, :, None]
+            contrib = jnp.max(
+                jnp.where(tmask, gath_fs[:, None, :, :], neg), axis=2)
+            tnmax = jax.ops.segment_max(
+                contrib, trow, num_segments=nps // RBK,
+                indices_are_sorted=True).reshape(nps, n_heads)
+            m_t = jax.nn.leaky_relu(f_dst + tnmax, negative_slope)
+            m = jnp.maximum(m, jnp.where(tnmax > neg / 2, m_t, neg))
+        m = jnp.where(m > neg / 2, m, 0.0)
+
         e_i = jnp.where(mask_i[:, None], jnp.exp(sc_i - m[ri]), 0.0)
         e_b = jnp.where(mask_b[:, None], jnp.exp(sc_b - m[rb]), 0.0)
         denom = (
@@ -139,14 +171,14 @@ def gat_halo_attend(
                                 indices_are_sorted=True)
             + jax.ops.segment_sum(e_b, rb, num_segments=nps,
                                   indices_are_sorted=True))
-        denom = jnp.maximum(denom, 1e-16)
 
-        if attn_dropout > 0.0:
+        dropping = attn_dropout > 0.0
+        if dropping:
             # α-dropout: numerators dropped per edge×head, denominator
             # keeps full mass; shard-local independent streams.
             local = jax.random.fold_in(rng_key,
                                        jax.lax.axis_index(hg.axis))
-            ki, kb = jax.random.split(local)
+            ki, kb, kt = jax.random.split(local, 3)
             keep = 1.0 - attn_dropout
             e_i = e_i * jax.random.bernoulli(
                 ki, keep, e_i.shape).astype(e_i.dtype) / keep
@@ -159,13 +191,49 @@ def gat_halo_attend(
         vb = (halo_h.reshape(-1, n_heads, feat)[sb]
               * e_b[:, :, None].astype(h.dtype)).reshape(-1, hf)
         num = num + _aggregate_core(rb, vb, ob, cb, nps, hg.bnd_max_chunks)
+        num = num.reshape(nps, n_heads, feat)
 
-        out = num.reshape(nps, n_heads, feat) / denom[:, :, None].astype(
-            num.dtype)
+        if tiled:
+            # numerator/denominator from the dense tiles (shard-local
+            # mirror of ops/bcsr_attention._parts_chunk): P = W ⊙ exp(S−m)
+            # on each tile, then one batched MXU matmul per tile stack.
+            s_t = jax.nn.leaky_relu(
+                f_dst.reshape(nps // RBK, RBK, n_heads)[trow][:, :, None, :]
+                + gath_fs[:, None, :, :], negative_slope)
+            s_t = s_t - m.reshape(nps // RBK, RBK, n_heads)[
+                trow][:, :, None, :]
+            # clamp (not exclude) s_t > 0: for real slots it happens only
+            # at float-noise ties with the max, where exp(0)=1 is exact;
+            # fake slots zero out through the tile weights.
+            p_t = tiles[:, :, :, None] \
+                * jnp.exp(jnp.where(s_t > 0, 0.0, s_t))
+            den_t = jax.ops.segment_sum(
+                p_t.sum(axis=2), trow, num_segments=nps // RBK,
+                indices_are_sorted=True).reshape(nps, n_heads)
+            denom = denom + den_t
+            if dropping:
+                keep_t = jax.random.bernoulli(kt, keep, p_t.shape)
+                p_t = jnp.where(keep_t, p_t / keep, 0.0)
+            h_blk = h.reshape(nps // CBK, CBK, n_heads, feat)
+            num_t = jnp.einsum(
+                "trch,tchf->trhf", p_t.astype(h.dtype), h_blk[tcol],
+                precision=(jax.lax.Precision.HIGHEST
+                           if h.dtype == jnp.float32
+                           else jax.lax.Precision.DEFAULT),
+                preferred_element_type=jnp.float32)
+            num = num + jax.ops.segment_sum(
+                num_t, trow, num_segments=nps // RBK,
+                indices_are_sorted=True).reshape(
+                    nps, n_heads, feat).astype(num.dtype)
+
+        denom = jnp.maximum(denom, 1e-16)
+        out = num / denom[:, :, None].astype(num.dtype)
         return out.reshape(nps, hf)
 
+    extra = ((hg.int_tiles, hg.int_tile_col, hg.int_tile_row)
+             if tiled else ())
     return f(hg.int_senders, hg.int_receivers, hg.int_weight,
              hg.int_off, hg.int_cnt,
              hg.bnd_senders, hg.bnd_receivers, hg.bnd_weight,
              hg.bnd_off, hg.bnd_cnt,
-             hg.send_idx, h, f_src, f_dst, dropout_rng)
+             hg.send_idx, *extra, h, f_src, f_dst, dropout_rng)

@@ -367,24 +367,84 @@ def test_clustered_partition_cuts_boundary_and_matches(mesh, rng):
     np.testing.assert_allclose(out[inv[np.arange(n)]], ref, atol=1e-4)
 
 
-def test_tiled_partition_rejects_attention_and_max(mesh, rng):
-    """Per-edge-score ops must refuse a tiled partition instead of
-    silently dropping the tiled interior edges."""
-    from graphneuralnetwork_tpu.parallel import segment_max_halo
-    from graphneuralnetwork_tpu.parallel.halo_attention import (
-        gat_halo_attend)
-
-    n, e = 512, 8000
+def _tiled_community_partition(mesh, rng, n=768, e=20000, comm=128):
     s = rng.integers(0, n, e)
-    r = (s // 128) * 128 + rng.integers(0, 128, e)
+    r = np.where(rng.random(e) < 0.9,
+                 (s // comm) * comm + rng.integers(0, comm, e),
+                 rng.integers(0, n, e))
+    keep = s != r
+    s, r = s[keep].astype(np.int64), r[keep].astype(np.int64)
     hg = partition_graph_halo(s, r, n, mesh=mesh, tiled_interior=True,
                               min_edges_per_tile=16)
     assert hg.int_tiles is not None
-    x = jnp.zeros((hg.n_node_pad, 4))
-    with pytest.raises(ValueError, match="tiled_interior=False"):
-        segment_max_halo(hg, shard_nodes_halo(np.zeros((n, 4), np.float32),
-                                              hg))
-    h = jnp.zeros((hg.n_node_pad, 2, 2))
-    f = jnp.zeros((hg.n_node_pad, 2))
-    with pytest.raises(ValueError, match="tiled_interior=False"):
-        gat_halo_attend(hg, h, f, f)
+    assert float(np.asarray(hg.int_tiles).sum()) != 0.0
+    return hg, s.astype(np.int32), r.astype(np.int32), n
+
+
+def test_tiled_partition_gat_matches_single_device(mesh, rng):
+    """GAT attention runs ON the tiled partition (dense-tile outer-sum
+    scores + COO stragglers + halo boundary) and matches the single-device
+    edge-softmax oracle, forward and gradient."""
+    from graphneuralnetwork_tpu.ops import edge_softmax
+    from graphneuralnetwork_tpu.ops.spmm import spmm_weighted
+    from graphneuralnetwork_tpu.parallel.halo_attention import (
+        gat_halo_attend)
+
+    hg, s, r, n = _tiled_community_partition(mesh, rng)
+    heads, feat = 3, 8
+    h = rng.normal(size=(n, heads, feat)).astype(np.float32)
+    fs = rng.normal(size=(n, heads)).astype(np.float32)
+    fd = rng.normal(size=(n, heads)).astype(np.float32)
+
+    g1 = build_graph(s, r, n)
+
+    def oracle(hh, a, b):
+        sc = a[g1.senders] + b[g1.receivers]
+        sc = jnp.where(sc > 0, sc, 0.2 * sc)
+        alpha = edge_softmax(g1, sc)
+        return spmm_weighted(g1, alpha, hh)
+
+    hp = shard_nodes_halo(h.reshape(n, -1), hg)
+    hp = hp.reshape(hg.n_node_pad, heads, feat)
+    fsp = shard_nodes_halo(fs, hg)
+    fdp = shard_nodes_halo(fd, hg)
+
+    out = jax.jit(lambda a, b, c: gat_halo_attend(hg, a, b, c))(
+        hp, fsp, fdp)
+    ref = oracle(jnp.asarray(h), jnp.asarray(fs), jnp.asarray(fd))
+    np.testing.assert_allclose(
+        np.asarray(out)[:n].reshape(n, heads, feat), np.asarray(ref),
+        atol=3e-5, rtol=1e-4)
+
+    c = rng.normal(size=(n, heads * feat)).astype(np.float32)
+
+    def loss_halo(a, b, d):
+        return jnp.sum(gat_halo_attend(hg, a, b, d)[:n] * jnp.asarray(c))
+
+    def loss_ref(a, b, d):
+        return jnp.sum(oracle(a, b, d).reshape(n, -1) * jnp.asarray(c))
+
+    gh = jax.grad(loss_halo, argnums=(0, 1, 2))(hp, fsp, fdp)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(
+        jnp.asarray(h), jnp.asarray(fs), jnp.asarray(fd))
+    np.testing.assert_allclose(
+        np.asarray(gh[0])[:n].reshape(n, heads, feat), np.asarray(gr[0]),
+        atol=3e-5, rtol=1e-4)
+    for a, b in zip(gh[1:], gr[1:]):
+        np.testing.assert_allclose(np.asarray(a)[:n], np.asarray(b),
+                                   atol=3e-5, rtol=1e-4)
+
+
+def test_tiled_partition_segment_max_matches_single_device(mesh, rng):
+    from graphneuralnetwork_tpu.ops import segment_max
+    from graphneuralnetwork_tpu.parallel import segment_max_halo
+
+    hg, s, r, n = _tiled_community_partition(mesh, rng)
+    x = rng.normal(size=(n, 12)).astype(np.float32)
+    g1 = build_graph(s, r, n)
+    ref = segment_max(jnp.asarray(x)[g1.senders], g1.receivers, n,
+                      mask=g1.edge_mask)
+    out = jax.jit(lambda xx: segment_max_halo(hg, xx))(
+        shard_nodes_halo(x, hg))
+    np.testing.assert_allclose(np.asarray(out)[:n], np.asarray(ref),
+                               atol=1e-5)
