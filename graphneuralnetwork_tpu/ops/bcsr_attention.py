@@ -122,14 +122,63 @@ def _pad_tiles(bg: BCSRGraph, extra, chunk: int):
 # ---------------------------------------------------------------------------
 
 
-def bcsr_neighbor_max(bg: BCSRGraph, v: jax.Array) -> jax.Array:
-    """max over tiled in-neighbors: out[r, c] = max_{s: W[r,s]≠0} v[s, c].
+def _nmax_kernel(off_ref, cnt_ref, col_ref, tile_ref, v_ref, out_ref,
+                 *, cols):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
 
-    Returns ``NEG`` where a node has no tiled in-edges (callers combine
-    with the COO remainder before substituting an empty-segment default).
-    XLA formulation; the [chunk, RB, CB, C] select-max fuses into the
-    reduction so only the [chunk, CB, C] gather materialises.
-    """
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.full_like(out_ref, NEG)
+
+    @pl.when(j < cnt_ref[i])
+    def _():
+        w = tile_ref[0]                                # [RB, CB]
+        for c in range(cols):
+            masked = jnp.where(w != 0, v_ref[c][None, :], NEG)
+            out_ref[:, c:c + 1] = jnp.maximum(
+                out_ref[:, c:c + 1], masked.max(axis=1, keepdims=True))
+
+
+@functools.partial(jax.jit, static_argnames=("cols", "n_node_pad",
+                                             "max_tiles"))
+def _nmax_pallas(tiles, col_ids, tile_off, tile_cnt, vp, cols, n_node_pad,
+                 max_tiles):
+    """vp: [C, N_pad] col-major. Returns [N_pad, C] (NEG where empty)."""
+    n_rb = n_node_pad // ROW_BLOCK
+    t_pad = tiles.shape[0]
+
+    def tile_map(i, j, off, cnt, col):
+        last = off[i] + jnp.maximum(cnt[i], 1) - 1
+        t = jnp.minimum(jnp.minimum(off[i] + j, last), t_pad - 1)
+        return (t, 0, 0)
+
+    def colv_map(i, j, off, cnt, col):
+        last = off[i] + jnp.maximum(cnt[i], 1) - 1
+        t = jnp.minimum(jnp.minimum(off[i] + j, last), t_pad - 1)
+        return (0, col[t])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_rb, max_tiles),
+        in_specs=[
+            pl.BlockSpec((1, ROW_BLOCK, COL_BLOCK), tile_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cols, COL_BLOCK), colv_map,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((ROW_BLOCK, cols),
+                               lambda i, j, o, c, cl: (i, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        functools.partial(_nmax_kernel, cols=cols),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_node_pad, cols), jnp.float32),
+    )(tile_off, tile_cnt, col_ids, tiles, vp)
+
+
+def _nmax_xla(bg: BCSRGraph, v: jax.Array) -> jax.Array:
     n_rb = bg.n_node_pad // ROW_BLOCK
     c = v.shape[1]
     vb = _pad_rows(v.astype(jnp.float32), bg.n_node_pad)
@@ -154,6 +203,47 @@ def bcsr_neighbor_max(bg: BCSRGraph, v: jax.Array) -> jax.Array:
          col_ids.reshape(n_chunks, chunk),
          row_ids.reshape(n_chunks, chunk)))
     return out.reshape(-1, c)[: bg.n_nodes]
+
+
+@jax.custom_vjp
+def bcsr_neighbor_max(bg: BCSRGraph, v: jax.Array) -> jax.Array:
+    """max over tiled in-neighbors: out[r, c] = max_{s: W[r,s]≠0} v[s, c].
+
+    Returns ``NEG`` where a node has no tiled in-edges (callers combine
+    with the COO remainder before substituting an empty-segment default).
+    Pallas on TPU (max accumulates in the resident out block — no XLA
+    scatter); chunk-scanned XLA formulation elsewhere, where the
+    [chunk, RB, CB, C] select-max fuses into the reduction so only the
+    [chunk, CB, C] gather materialises.  Backward (SAGE max-pool routes
+    the cotangent to the argmax neighbor) runs through the XLA
+    formulation's VJP.
+    """
+    from . import _use_pallas
+
+    if _use_pallas(v):
+        vp = _pad_rows(v.astype(jnp.float32), bg.n_node_pad).T
+        out = _nmax_pallas(bg.tiles, bg.col_ids, bg.tile_off, bg.tile_cnt,
+                           vp, v.shape[1], bg.n_node_pad, bg.max_tiles)
+        return out[: bg.n_nodes]
+    return _nmax_xla(bg, v)
+
+
+def _nmax_fwd(bg, v):
+    return bcsr_neighbor_max(bg, v), (bg, v)
+
+
+def _nmax_bwd(res, g):
+    bg, v = res
+    _, vjp = jax.vjp(lambda vv: _nmax_xla(bg, vv), v)
+    (dv,) = vjp(g)
+    dbg = jax.tree_util.tree_map(
+        lambda a: (np.zeros(a.shape, jax.dtypes.float0)
+                   if jnp.issubdtype(a.dtype, jnp.integer)
+                   else jnp.zeros_like(a)), bg)
+    return (dbg, dv.astype(v.dtype))
+
+
+bcsr_neighbor_max.defvjp(_nmax_fwd, _nmax_bwd)
 
 
 def hybrid_segment_max(hg: HybridGraph, x: jax.Array,
@@ -246,13 +336,12 @@ def _parts_xla(bg, bits, x, f_src, f_dst, m, slope, keep_prob):
 def _attend_body(tile_ref, bits_ref, x_ref, fs_ref, fd_ref, m_ref,
                  num_ref, den_ref, *, heads, feat, slope, keep_prob):
     w = tile_ref[0]                                    # [RB, CB] f32
-    dens = []
     for h in range(heads):
-        fd = fd_ref[h][:, None]                        # [RB, 1]
+        fd = fd_ref[:, h:h + 1]                        # [RB, 1]
         fs = fs_ref[h][None, :]                        # [1, CB]
-        s = _leaky(fd + fs, slope) - m_ref[h][:, None]
+        s = _leaky(fd + fs, slope) - m_ref[:, h:h + 1]
         p = w * jnp.exp(jnp.where(s > 0, 0.0, s))      # [RB, CB]
-        dens.append(p.sum(axis=1))
+        den_ref[:, h:h + 1] += p.sum(axis=1, keepdims=True)
         if keep_prob < 1.0:
             keep = _head_keep(bits_ref[0], h, keep_prob)
             p = jnp.where(keep, p * (1.0 / keep_prob), 0.0)
@@ -263,8 +352,7 @@ def _attend_body(tile_ref, bits_ref, x_ref, fs_ref, fd_ref, m_ref,
                        if x_ref.dtype == jnp.float32
                        else jax.lax.Precision.DEFAULT),
             preferred_element_type=jnp.float32)
-        num_ref[h] += acc
-    den_ref[:] += jnp.stack(dens, axis=0)              # [H, RB]
+        num_ref[:, h * feat:(h + 1) * feat] += acc
 
 
 def _attend_kernel(off_ref, cnt_ref, col_ref, *refs, heads, feat, slope,
@@ -296,8 +384,10 @@ def _attend_kernel(off_ref, cnt_ref, col_ref, *refs, heads, feat, slope,
 def _parts_pallas(tiles, col_ids, tile_off, tile_cnt, bits, x2f, fsp, fdp,
                   mp, heads, feat, n_node_pad, max_tiles, slope,
                   keep_prob):
-    """fsp/fdp/mp: [H, N_pad] (head-major — row reads in the kernel);
-    x2f: [N_pad, H·F]. Returns num [H, N_pad, F], den [H, N_pad]."""
+    """fsp: [H, N_pad] (head-major — sublane-row reads broadcast across
+    rows); fdp/mp: [N_pad, H] (node-major — lane-column reads broadcast
+    across cols); x2f: [N_pad, H·F].  Returns num [N_pad, H·F],
+    den [N_pad, H] — node-major, so the caller reshapes for free."""
     n_rb = n_node_pad // ROW_BLOCK
     t_pad = tiles.shape[0]
     hf = heads * feat
@@ -331,9 +421,9 @@ def _parts_pallas(tiles, col_ids, tile_off, tile_cnt, bits, x2f, fsp, fdp,
         pl.BlockSpec((COL_BLOCK, hf), col2_map, memory_space=pltpu.VMEM),
         pl.BlockSpec((heads, COL_BLOCK), colh_map,
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((heads, ROW_BLOCK), lambda i, j, o, c, cl: (0, i),
+        pl.BlockSpec((ROW_BLOCK, heads), lambda i, j, o, c, cl: (i, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((heads, ROW_BLOCK), lambda i, j, o, c, cl: (0, i),
+        pl.BlockSpec((ROW_BLOCK, heads), lambda i, j, o, c, cl: (i, 0),
                      memory_space=pltpu.VMEM),
     ]
     inputs += [x2f, fsp, fdp, mp]
@@ -343,11 +433,11 @@ def _parts_pallas(tiles, col_ids, tile_off, tile_cnt, bits, x2f, fsp, fdp,
         grid=(n_rb, max_tiles),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((heads, ROW_BLOCK, feat),
-                         lambda i, j, o, c, cl: (0, i, 0),
+            pl.BlockSpec((ROW_BLOCK, hf),
+                         lambda i, j, o, c, cl: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((heads, ROW_BLOCK),
-                         lambda i, j, o, c, cl: (0, i),
+            pl.BlockSpec((ROW_BLOCK, heads),
+                         lambda i, j, o, c, cl: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
     )
@@ -358,8 +448,8 @@ def _parts_pallas(tiles, col_ids, tile_off, tile_cnt, bits, x2f, fsp, fdp,
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((heads, n_node_pad, feat), jnp.float32),
-            jax.ShapeDtypeStruct((heads, n_node_pad), jnp.float32),
+            jax.ShapeDtypeStruct((n_node_pad, hf), jnp.float32),
+            jax.ShapeDtypeStruct((n_node_pad, heads), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * t_pad * ROW_BLOCK * COL_BLOCK * hf,
@@ -383,13 +473,13 @@ def _tile_parts_impl(bg: BCSRGraph, bits, x, f_src, f_dst, m, slope,
     if _use_pallas(x):
         x2f = _pad_rows(x.reshape(n, heads * feat), n_pad)
         fsp = _pad_rows(f_src.astype(jnp.float32), n_pad).T
-        fdp = _pad_rows(f_dst.astype(jnp.float32), n_pad).T
-        mp = _pad_rows(m, n_pad).T
+        fdp = _pad_rows(f_dst.astype(jnp.float32), n_pad)
+        mp = _pad_rows(m, n_pad)
         num, den = _parts_pallas(
             bg.tiles, bg.col_ids, bg.tile_off, bg.tile_cnt, bits, x2f,
             fsp, fdp, mp, heads, feat, n_pad, bg.max_tiles, float(slope),
             float(keep_prob))
-        return (jnp.moveaxis(num, 0, 1)[:n], den.T[:n])
+        return (num[:n].reshape(n, heads, feat), den[:n])
     return _parts_xla(bg, bits, x, f_src, f_dst, m, float(slope),
                       float(keep_prob))
 
