@@ -58,7 +58,7 @@ def main(argv=None):
                          "HAN/run.py:10-11, GraphSAGE_Pytorch/run.py:8-10)")
     ap.add_argument("--layout", choices=["coo", "hybrid"],
                     default="coo",
-                    help="graph layout for gcn: 'hybrid' = locality-"
+                    help="graph layout for gcn/gat: 'hybrid' = locality-"
                          "clustered dense-tile BCSR + COO remainder "
                          "(core/bcsr.py; 2.9-3.9x SpMM on clustered "
                          "graphs)")
@@ -88,13 +88,28 @@ def main(argv=None):
         import jax.numpy as jnp
         cdtype = jnp.bfloat16 if args.dtype == "bfloat16" else None
 
-        layout = args.layout if name == "gcn" else "coo"
+        layout = args.layout if name in ("gcn", "gat") else "coo"
         if args.dataset in ("cora", "citeseer"):   # named synthetic preset
             data = load_cora(name=args.dataset, seed=args.seed,
                              layout=layout)
         else:
             data = load_cora(root=args.dataset, seed=args.seed,
                              layout=layout)
+        if name == "gat" and layout == "hybrid":
+            # GAT needs BINARY tile weights (attention softmax over the
+            # edge set, not the sym-normalised GCN operator): rebuild the
+            # hybrid from the already-cluster-permuted raw edges with
+            # unit weights (ops/bcsr_attention.py semantics).
+            import dataclasses as _dc
+
+            from .core.bcsr import build_hybrid
+            from .core.graph import add_self_loops, symmetrize
+            s2, r2 = symmetrize(data.raw_senders, data.raw_receivers)
+            s2, r2 = add_self_loops(s2, r2, int(data.features.shape[0]))
+            data = _dc.replace(
+                data, graph=build_hybrid(s2, r2,
+                                         int(data.features.shape[0]),
+                                         symmetric=True))
         from .train.schedule import make_optimizer
         opt_name = args.optimizer or "adamw"
         if name == "gcn":

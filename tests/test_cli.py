@@ -87,6 +87,14 @@ def test_cli_gcn_hybrid_layout():
     assert res["test_acc"] > 0.3
 
 
+def test_cli_gat_hybrid_layout():
+    """GAT trains on the tiled layout through the public CLI (attention
+    rides the dense tiles, ops/bcsr_attention.py)."""
+    res = main(["--model", "gat", "--epochs", "40", "--quiet",
+                "--layout", "hybrid"])
+    assert res["test_acc"] > 0.3
+
+
 def test_repro_harness_fast_smoke(tmp_path):
     """The accuracy-repro harness itself (row generation, criteria,
     markdown output) — fast subset; the full run is the committed
