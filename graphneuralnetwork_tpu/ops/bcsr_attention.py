@@ -269,34 +269,21 @@ def hybrid_segment_max(hg: HybridGraph, x: jax.Array,
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.checkpoint, static_argnums=(7, 8))
-def _parts_chunk(w, cid, rid, bits, x2, fsb, fdb_mb, slope, keep_prob):
-    """One tile chunk → (num_c [c,RB,H,F], den_c [c,RB,H])."""
-    fdb, mb = fdb_mb
-    fs = fsb[cid]                                      # [c, CB, H]
-    fd = fdb[rid]                                      # [c, RB, H]
-    m = mb[rid]                                        # [c, RB, H]
-    s = _leaky(fd[:, :, None, :] + fs[:, None, :, :], slope)
-    s = s - m[:, :, None, :]
-    p = w[:, :, :, None] * jnp.exp(jnp.where(s > 0, 0.0, s))
-    den_c = p.sum(axis=2)                              # [c, RB, H]
-    if keep_prob < 1.0:
-        heads = p.shape[-1]
-        keep = jnp.stack([_head_keep(bits, h, keep_prob)
-                          for h in range(heads)], axis=-1)
-        p = jnp.where(keep, p / keep_prob, 0.0)
-    xg = x2[cid]                                       # [c, CB, H, F]
-    num_c = jnp.einsum(
-        "trch,tchf->trhf", p.astype(x2.dtype), xg,
-        precision=(jax.lax.Precision.HIGHEST if x2.dtype == jnp.float32
-                   else jax.lax.Precision.DEFAULT),
-        preferred_element_type=jnp.float32)
-    return num_c, den_c
-
-
 def _parts_xla(bg, bits, x, f_src, f_dst, m, slope, keep_prob):
+    """Row-block-gather formulation: each row block gathers its (≤
+    max_tiles) tiles, so the scan STACKS per-chunk outputs instead of
+    scatter-adding into a full-size accumulator (the scatter version
+    re-read the [N, H, F] accumulator every chunk — measured 2× the
+    Pallas kernel's whole runtime).  This is also the gradient path of
+    the custom VJP: autodiff turns the gathers into index-adds over the
+    compact fsb/x2/tile operands.  Padding waste is max_tiles/mean_tiles
+    per row block — small on locality-ordered graphs (max_tiles=2 on the
+    bench community graph)."""
     n, heads, feat = x.shape
     n_pad = bg.n_node_pad
+    n_rb = n_pad // ROW_BLOCK
+    mt = bg.max_tiles
+    t_pad = bg.tiles.shape[0]
     x2 = _pad_rows(x, n_pad).reshape(-1, COL_BLOCK, heads, feat)
     fsb = _pad_rows(f_src.astype(jnp.float32), n_pad)
     fsb = fsb.reshape(-1, COL_BLOCK, heads)
@@ -304,26 +291,54 @@ def _parts_xla(bg, bits, x, f_src, f_dst, m, slope, keep_prob):
     fdb = fdb.reshape(-1, ROW_BLOCK, heads)
     mb = _pad_rows(m, n_pad).reshape(-1, ROW_BLOCK, heads)
 
-    per_tile = ROW_BLOCK * COL_BLOCK * heads * 4 * 2
-    chunk, n_chunks = _chunked(bg.tiles.shape[0], per_tile)
-    tiles, col_ids, row_ids, (bits,) = _pad_tiles(bg, [bits], chunk)
-    n_rb = n_pad // ROW_BLOCK
+    kk = jnp.arange(mt)
+    idx = jnp.minimum(bg.tile_off[:, None] + kk[None, :],
+                      t_pad - 1)                       # [n_rb, mt]
+    valid = kk[None, :] < bg.tile_cnt[:, None]         # [n_rb, mt]
 
-    def body(carry, xs):
-        num, den = carry
-        w, cid, rid, b = xs
-        num_c, den_c = _parts_chunk(w, cid, rid, b, x2, fsb, (fdb, mb),
-                                    slope, keep_prob)
-        return (num.at[rid].add(num_c), den.at[rid].add(den_c)), None
+    per_row = mt * ROW_BLOCK * COL_BLOCK * heads * 4 * 2
+    chunk, n_chunks = _chunked(n_rb, per_row)
+    pad_rb = n_chunks * chunk - n_rb
+    if pad_rb:
+        idx = jnp.pad(idx, ((0, pad_rb), (0, 0)))
+        valid = jnp.pad(valid, ((0, pad_rb), (0, 0)))
 
-    num0 = jnp.zeros((n_rb, ROW_BLOCK, heads, feat), jnp.float32)
-    den0 = jnp.zeros((n_rb, ROW_BLOCK, heads), jnp.float32)
-    (num, den), _ = jax.lax.scan(
-        body, (num0, den0),
-        (tiles.reshape(n_chunks, chunk, ROW_BLOCK, COL_BLOCK),
-         col_ids.reshape(n_chunks, chunk),
-         row_ids.reshape(n_chunks, chunk),
-         bits.reshape((n_chunks, chunk) + bits.shape[1:])))
+    rb_ids = jnp.arange(n_chunks * chunk) % n_rb       # clamped row ids
+    dropping = keep_prob < 1.0
+
+    @functools.partial(jax.checkpoint, static_argnums=())
+    def body(_, xs):
+        idx_c, valid_c, rb_c = xs                      # [c, mt], [c]
+        w = bg.tiles[idx_c] * valid_c[:, :, None, None]  # [c, mt, RB, CB]
+        cid = bg.col_ids[idx_c]                        # [c, mt]
+        fs = fsb[cid]                                  # [c, mt, CB, H]
+        fd = fdb[rb_c]                                 # [c, RB, H]
+        mm = mb[rb_c]
+        s = _leaky(fd[:, None, :, None, :] + fs[:, :, None, :, :], slope)
+        s = s - mm[:, None, :, None, :]
+        p = w[..., None] * jnp.exp(jnp.where(s > 0, 0.0, s))
+        den_c = p.sum(axis=(1, 3))                     # [c, RB, H]
+        if dropping:
+            b = bits[idx_c]                            # [c, mt, RB, CB]
+            keep = jnp.stack([_head_keep(b, h, keep_prob)
+                              for h in range(heads)], axis=-1)
+            p = jnp.where(keep, p / keep_prob, 0.0)
+        xg = x2[cid]                                   # [c, mt, CB, H, F]
+        num_c = jnp.einsum(
+            "tmrch,tmchf->trhf", p.astype(x2.dtype), xg,
+            precision=(jax.lax.Precision.HIGHEST
+                       if x2.dtype == jnp.float32
+                       else jax.lax.Precision.DEFAULT),
+            preferred_element_type=jnp.float32)
+        return None, (num_c, den_c)
+
+    _, (num, den) = jax.lax.scan(
+        body, None,
+        (idx.reshape(n_chunks, chunk, mt),
+         valid.reshape(n_chunks, chunk, mt),
+         rb_ids.reshape(n_chunks, chunk)))
+    num = num.reshape(-1, ROW_BLOCK, heads, feat)[:n_rb]
+    den = den.reshape(-1, ROW_BLOCK, heads)[:n_rb]
     return (num.reshape(-1, heads, feat)[:n],
             den.reshape(-1, heads)[:n])
 
