@@ -148,6 +148,40 @@ def test_tiled_dropout_rate_on_tiles():
     assert abs(joint - k0.mean() * k1.mean()) < 0.02
 
 
+def test_gatconv_hybrid_trains_with_dropout(fixture):
+    """A GATConv training step on the HybridGraph with attention dropout
+    active (the reference GAT config trains at dropout 0.6) produces
+    finite grads that differ between dropout draws."""
+    import optax
+
+    hg, gr, x, _, _ = fixture
+    feats = x.reshape(x.shape[0], -1)
+    layer = GATConv(features=8, num_heads=4, attn_dropout=0.6,
+                    deterministic=False)
+    params = layer.init(
+        {"params": jax.random.PRNGKey(0),
+         "dropout": jax.random.PRNGKey(1)}, hg, feats)
+
+    def loss(p, key):
+        out = layer.apply(p, hg, feats, rngs={"dropout": key})
+        return jnp.sum(out ** 2) * 1e-3
+
+    g1 = jax.grad(loss)(params, jax.random.PRNGKey(2))
+    g2 = jax.grad(loss)(params, jax.random.PRNGKey(3))
+    l1 = jax.tree_util.tree_leaves(g1)
+    assert all(bool(jnp.isfinite(a).all()) for a in l1)
+    diffs = [float(jnp.abs(a - b).max())
+             for a, b in zip(l1, jax.tree_util.tree_leaves(g2))]
+    assert max(diffs) > 0.0  # different draws → different gradients
+
+    tx = optax.adam(1e-2)
+    opt = tx.init(params)
+    upd, _ = tx.update(g1, opt, params)
+    new_params = optax.apply_updates(params, upd)
+    assert all(bool(jnp.isfinite(a).all())
+               for a in jax.tree_util.tree_leaves(new_params))
+
+
 def test_sage_max_on_hybrid(fixture):
     hg, gr, x, _, _ = fixture
     feats = x.reshape(x.shape[0], -1)
