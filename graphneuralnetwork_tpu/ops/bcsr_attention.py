@@ -61,10 +61,11 @@ from ..core.bcsr import COL_BLOCK, ROW_BLOCK, BCSRGraph, HybridGraph
 
 NEG = -1e30  # "-inf" stand-in that survives f32 arithmetic
 
-# Odd multipliers decorrelating per-head dropout streams from one uint32
-# lattice per tile slot.
-_HEAD_MULS = np.uint32(
-    [0x9E3779B1 * (2 * h + 1) & 0xFFFFFFFF for h in range(64)])
+def _head_mul(h: int) -> np.uint32:
+    """Odd multiplier decorrelating head ``h``'s dropout stream from the
+    shared uint32 lattice (computed inline — a fixed table capped the
+    head count, ADVICE r3)."""
+    return np.uint32((0x9E3779B1 * (2 * h + 1)) & 0xFFFFFFFF)
 
 
 def _pad_rows(v: jax.Array, n_pad: int) -> jax.Array:
@@ -88,7 +89,7 @@ def _head_keep(bits: jax.Array, h: int, keep_prob: float) -> jax.Array:
     stream uniform) but leaves heads linearly related; the xorshift-mul
     avalanche rounds break that relation (measured joint keep rate matches
     the product of marginals to <1e-3)."""
-    v = bits * jnp.uint32(_HEAD_MULS[h])
+    v = bits * jnp.uint32(_head_mul(h))
     v = v ^ (v >> jnp.uint32(13))
     v = v * jnp.uint32(0x5BD1E995)
     v = v ^ (v >> jnp.uint32(15))

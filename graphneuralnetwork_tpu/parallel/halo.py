@@ -73,6 +73,13 @@ class HaloGraph:
     int_tiles: Optional[jax.Array] = None      # f32[D, T, 128, 128]
     int_tile_col: Optional[jax.Array] = None   # int32[D, T]
     int_tile_row: Optional[jax.Array] = None   # int32[D, T]
+    # True iff the partition was built from UNIT edge weights, so tile
+    # entries are integral edge multiplicities. gat_halo_attend requires
+    # this: its tiled softmax treats tile values as edge counts, which is
+    # NOT GAT semantics for weighted partitions (e.g. GCN sym-normalized
+    # ones, whose COO/boundary edges use weights as masks only).
+    unit_edge_weights: bool = dataclasses.field(
+        default=True, metadata=dict(static=True))
 
     @property
     def n_devices(self):
@@ -94,9 +101,11 @@ def partition_graph_halo(
     n_dev = mesh.shape[axis]
     senders = np.asarray(senders, np.int64).ravel()
     receivers = np.asarray(receivers, np.int64).ravel()
+    unit_weights = edge_weight is None
     if edge_weight is None:
         edge_weight = np.ones(len(senders), np.float32)
     edge_weight = np.asarray(edge_weight, np.float32).ravel()
+    unit_weights = unit_weights or bool(np.all(edge_weight == 1.0))
 
     nps = _round_up(max(n_nodes, 1), ROW_BLOCK * n_dev) // n_dev
     owner = senders // nps
@@ -162,6 +171,12 @@ def partition_graph_halo(
             TILES[d, : t.shape[0]] = t
             TCOL[d, : len(tcol)] = tcol
             TROW[d, : len(trow)] = trow
+            # Pad the tail with the LAST real row-block index (trow is
+            # sorted ascending), keeping the indices_are_sorted=True hint
+            # on the tiled segment ops honest — zero-padding after larger
+            # values violated it (ADVICE r3); padded tiles are all-zero so
+            # they contribute 0 to sums and NEG to maxes either way.
+            TROW[d, len(trow):] = trow[-1] if len(trow) else 0
 
     H = max(
         max((len(ids) for nd in need for ids in nd), default=1), 1)
@@ -244,6 +259,7 @@ def partition_graph_halo(
         int_tiles=put(TILES) if TILES is not None else None,
         int_tile_col=put(TCOL) if TCOL is not None else None,
         int_tile_row=put(TROW) if TROW is not None else None,
+        unit_edge_weights=unit_weights,
     )
 
 
@@ -459,7 +475,11 @@ def segment_max_halo(hg: HaloGraph, x: jax.Array) -> jax.Array:
                 contrib, trow, num_segments=nps // RBK,
                 indices_are_sorted=True).reshape(nps, x_local.shape[1])
             m = jnp.maximum(m, tmax)
-        return jnp.where(jnp.isfinite(m), m, 0.0).astype(x_local.dtype)
+        # Empty segments: COO segment_max yields -inf, but the tiled path's
+        # masked rows and zero-padded tile slots contribute the *finite*
+        # finfo.min, so the guard must be a threshold, not isfinite
+        # (ADVICE r3: isfinite leaked -3.4e38 into in-degree-0 nodes).
+        return jnp.where(m > neg / 2, m, 0.0).astype(x_local.dtype)
 
     extra = ((hg.int_tiles, hg.int_tile_col, hg.int_tile_row)
              if tiled else ())

@@ -94,6 +94,18 @@ def gat_halo_attend(
     hf = n_heads * feat
     tiled = hg.int_tiles is not None
     n_extra = 3 if tiled else 0
+    if tiled and not hg.unit_edge_weights:
+        # The tiled softmax below multiplies exp(S) by the tile values —
+        # correct only when those are 0/1 edge indicators. A partition
+        # built with non-unit weights (e.g. GCN sym-normalization) would
+        # silently compute a *weighted* softmax here while its COO and
+        # boundary edges use weights as masks only (ADVICE r3). Rebuild
+        # the partition with edge_weight=None for attention models.
+        raise ValueError(
+            "gat_halo_attend requires a partition with unit (0/1) tile "
+            "weights; this HaloGraph was built with non-binary edge "
+            "weights. Build a separate partition_graph_halo(..., "
+            "edge_weight=None) for the attention layers.")
     if attn_dropout > 0.0 and dropout_rng is None:
         raise ValueError("attn_dropout > 0 requires dropout_rng")
     if dropout_rng is None:

@@ -146,6 +146,11 @@ def test_tiled_dropout_rate_on_tiles():
     # decorrelated: joint rate ≈ product of marginals
     joint = (k0 & k1).mean()
     assert abs(joint - k0.mean() * k1.mean()) < 0.02
+    # no head-count cap (ADVICE r3: a fixed 64-entry table raised at
+    # h >= 64); large head indices draw a valid decorrelated stream
+    k100 = np.asarray(_head_keep(bits, 100, keep_prob))
+    assert abs(k100.mean() - keep_prob) < 0.01
+    assert abs((k0 & k100).mean() - k0.mean() * k100.mean()) < 0.02
 
 
 def test_gatconv_hybrid_trains_with_dropout(fixture):

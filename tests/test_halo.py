@@ -448,3 +448,58 @@ def test_tiled_partition_segment_max_matches_single_device(mesh, rng):
         shard_nodes_halo(x, hg))
     np.testing.assert_allclose(np.asarray(out)[:n], np.asarray(ref),
                                atol=1e-5)
+
+
+def test_tiled_segment_max_indegree_zero_nodes(mesh, rng):
+    """Regression (ADVICE r3): on a tiled partition, in-degree-0 nodes in
+    a row block that hosts tile slots must get 0 (single-device
+    semantics), not the finite finfo.min leaking through an isfinite
+    guard."""
+    from graphneuralnetwork_tpu.parallel import segment_max_halo
+
+    n, comm = 768, 128
+    # every receiver is in [0, comm) of its community -> nodes with local
+    # index >= comm//2 in each community have NO in-edges at all
+    s = rng.integers(0, n, 8000)
+    r = (s // comm) * comm + rng.integers(0, comm // 2, 8000)
+    keep = s != r
+    s, r = s[keep].astype(np.int64), r[keep].astype(np.int64)
+    hg = partition_graph_halo(s, r, n, mesh=mesh, tiled_interior=True,
+                              min_edges_per_tile=16)
+    assert hg.int_tiles is not None
+    x = rng.normal(size=(n, 8)).astype(np.float32) - 5.0  # all-negative
+    out = np.asarray(jax.jit(lambda xx: segment_max_halo(hg, xx))(
+        shard_nodes_halo(x, hg)))[:n]
+
+    indeg = np.zeros(n, np.int64)
+    np.add.at(indeg, r, 1)
+    empty = indeg == 0
+    assert empty.any()
+    np.testing.assert_array_equal(out[empty], 0.0)
+    assert np.isfinite(out).all()
+    # non-empty nodes still match the single-device oracle
+    from graphneuralnetwork_tpu.ops import segment_max
+    g1 = build_graph(s.astype(np.int32), r.astype(np.int32), n)
+    ref = np.asarray(segment_max(jnp.asarray(x)[g1.senders], g1.receivers,
+                                 n, mask=g1.edge_mask))
+    np.testing.assert_allclose(out[~empty], ref[~empty], atol=1e-5)
+
+
+def test_gat_halo_attend_rejects_weighted_tiles(mesh, rng):
+    """Regression (ADVICE r3): gat_halo_attend must refuse a tiled
+    partition built with non-unit edge weights instead of silently
+    computing a weighted softmax."""
+    from graphneuralnetwork_tpu.parallel.halo_attention import (
+        gat_halo_attend)
+
+    hg, s, r, n = _tiled_community_partition(mesh, rng)
+    # weighted rebuild of the same graph
+    w = (rng.random(len(s)) + 0.5).astype(np.float32)
+    hg_w = partition_graph_halo(s, r, n, w, mesh=mesh,
+                                tiled_interior=True, min_edges_per_tile=16)
+    assert not hg_w.unit_edge_weights
+    assert hg.unit_edge_weights
+    h = jnp.zeros((hg_w.n_node_pad, 2, 4))
+    f = jnp.zeros((hg_w.n_node_pad, 2))
+    with pytest.raises(ValueError, match="unit"):
+        gat_halo_attend(hg_w, h, f, f)
