@@ -58,10 +58,13 @@ def main(argv=None):
                          "HAN/run.py:10-11, GraphSAGE_Pytorch/run.py:8-10)")
     ap.add_argument("--layout", choices=["coo", "hybrid"],
                     default="coo",
-                    help="graph layout for gcn/gat: 'hybrid' = locality-"
-                         "clustered dense-tile BCSR + COO remainder "
-                         "(core/bcsr.py; 2.9-3.9x SpMM on clustered "
-                         "graphs)")
+                    help="graph layout for gcn/gat/graphsage/han: "
+                         "'hybrid' = locality-clustered dense-tile BCSR "
+                         "+ COO remainder (core/bcsr.py; 2.9-3.9x SpMM "
+                         "on clustered graphs). graphsage + hybrid runs "
+                         "the full-batch SAGEConv path (nn/conv.py:236); "
+                         "han + hybrid tiles each metapath adjacency "
+                         "(data/acm.py:_hybrid_metapath_graphs)")
     ap.add_argument("--dtype", choices=["float32", "bfloat16"],
                     default="float32",
                     help="compute dtype for gcn/gat/graphsage/han/gtn "
@@ -145,6 +148,58 @@ def main(argv=None):
         result = dict(test_acc=res.test_acc, val_acc=res.best_val_acc,
                       epochs=res.epochs_run, seconds=res.seconds)
 
+    elif name == "graphsage" and args.layout == "hybrid":
+        # Full-batch SAGEConv on the locality-clustered hybrid layout
+        # (SAGEConv dispatches on HybridGraph, nn/conv.py:236-252) — the
+        # fast path for graphs that fit on-chip; the sampled mini-batch
+        # reference pipeline stays under --layout coo.
+        import jax.numpy as jnp
+        import numpy as np
+
+        from .core.bcsr import build_hybrid
+        from .core.graph import row_normalize_features, symmetrize
+        from .core.reorder import (invert_permutation, locality_order,
+                                   relabel_edges)
+        from .data.planetoid import NodeClassificationData
+        from .data.pubmed import load_pubmed
+        from .nn import GraphSAGE
+        from .train.schedule import make_optimizer
+        from .train.scan_loop import fit_node_classifier_scan
+
+        sd = load_pubmed(root=args.dataset, seed=args.seed)
+        n = sd.features.shape[0]
+        s, r = symmetrize(sd.senders, sd.receivers)
+        perm = locality_order(s, r, n)
+        inv = invert_permutation(perm)
+        s2, r2 = relabel_edges(perm, s, r)
+        data = NodeClassificationData(
+            graph=build_hybrid(s2, r2, n, min_edges_per_tile=64,
+                               symmetric=True),
+            features=jnp.asarray(
+                row_normalize_features(sd.features[perm])),
+            labels=jnp.asarray(sd.labels[perm]),
+            train_idx=jnp.asarray(inv[sd.train_idx].astype(np.int32)),
+            val_idx=jnp.asarray(inv[sd.val_idx].astype(np.int32)),
+            test_idx=jnp.asarray(inv[sd.test_idx].astype(np.int32)),
+            num_classes=sd.num_classes)
+        overrides = dict(kv.split("=", 1) for kv in (args.set or []))
+        cdtype = jnp.bfloat16 if args.dtype == "bfloat16" else None
+        model = GraphSAGE(
+            hidden_dims=(128,), num_classes=data.num_classes,
+            aggregator=overrides.get("aggregator", "mean"), dtype=cdtype)
+        epochs = args.epochs or 100
+        opt = make_optimizer(args.optimizer or "adamw",
+                             float(overrides.get("lr", 1e-2)),
+                             weight_decay=1e-4, total_steps=epochs,
+                             warmup_steps=1, momentum=0.9)
+        res = fit_node_classifier_scan(
+            model, data, epochs=epochs, optimizer=opt,
+            epochs_per_call=min(50, epochs), seed=args.seed,
+            verbose=verbose, checkpoint_dir=args.checkpoint_dir,
+            resume=args.resume)
+        result = dict(test_acc=res.test_acc, val_acc=res.best_val_acc,
+                      epochs=res.epochs_run, seconds=res.seconds)
+
     elif name in ("graphsage", "graphsage_unsup"):
         from .data.pubmed import load_pubmed
         from .train.sage_loop import (
@@ -178,9 +233,10 @@ def main(argv=None):
 
         if args.dataset == "imdb":
             from .data import load_imdb_han
-            data = load_imdb_han(seed=args.seed)
+            data = load_imdb_han(seed=args.seed, layout=args.layout)
         else:
-            data = load_acm_han(path=args.dataset, seed=args.seed)
+            data = load_acm_han(path=args.dataset, seed=args.seed,
+                                layout=args.layout)
         model = HAN(num_metapaths=len(data.graphs),
                     num_classes=data.num_classes, hidden=8, num_heads=(4,),
                     dtype=(jnp.bfloat16 if args.dtype == "bfloat16"

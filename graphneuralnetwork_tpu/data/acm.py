@@ -140,32 +140,91 @@ def _load_acm_mat(path: str):
     return hg, feats, labels
 
 
-def load_acm_han(path: str | None = None, seed: int = 0) -> HeteroNodeData:
+_ACM_METAPATHS = (
+    (("paper", "pa", "author"), ("author", "ap", "paper")),   # PAP
+    (("paper", "pl", "subject"), ("subject", "lp", "paper")),  # PLP
+)
+
+
+def _hybrid_metapath_graphs(hg, n: int, metapaths,
+                            min_edges_per_tile: int):
+    """Compose each metapath as a binarized edge list (+ self loops),
+    locality-cluster the target nodes over the UNION of metapath edges,
+    and densify each metapath adjacency into a HybridGraph.
+
+    Metapath adjacencies (A·Aᵀ binarized, HAN/utils/data_utils.py:85-89)
+    are exactly the dense-blocky case BCSR tiles are built for: papers
+    sharing an author/subject form near-cliques. Unit weights keep GAT
+    tile semantics (ops/bcsr_attention.py). Returns (graphs, perm)."""
+    from ..core.bcsr import build_hybrid
+    from ..core.reorder import locality_order, relabel_edges
+
+    loops = np.arange(n, dtype=np.int64)
+    edge_lists = []
+    for keys in metapaths:
+        s, d, _ = hg.compose(list(keys), binarize=True)
+        keep = s != d
+        edge_lists.append((np.concatenate([s[keep], loops]),
+                           np.concatenate([d[keep], loops])))
+    all_s = np.concatenate([e[0] for e in edge_lists])
+    all_r = np.concatenate([e[1] for e in edge_lists])
+    perm = locality_order(all_s, all_r, n)
+    graphs = []
+    for s, d in edge_lists:
+        s2, r2 = relabel_edges(perm, s, d)
+        # PAP/PLP are symmetric (R·Rᵀ), so forward tiles serve backward.
+        graphs.append(build_hybrid(
+            s2, r2, n, min_edges_per_tile=min_edges_per_tile,
+            symmetric=True))
+    return graphs, perm
+
+
+def load_acm_han(path: str | None = None, seed: int = 0,
+                 layout: str = "coo", n_papers: int = 600,
+                 min_edges_per_tile: int = 64) -> HeteroNodeData:
     """HAN input: PAP + PLP metapath graphs over papers
-    (HAN/utils/data_utils.py:85-89)."""
+    (HAN/utils/data_utils.py:85-89).
+
+    ``layout="hybrid"`` builds each metapath adjacency as a
+    locality-clustered HybridGraph (dense MXU tiles + COO remainder);
+    features/labels are permuted to the clustered order and the split
+    indices mapped through the inverse, so accuracies are unchanged.
+    ``n_papers`` scales the synthetic stand-in (ignored for real .mat)."""
     if path is not None and os.path.exists(path):
         hg, feats, labels = _load_acm_mat(path)
     else:
-        hg, feats, labels = synthetic_acm(seed=seed)
-
-    pap = hg.metapath_graph(
-        [("paper", "pa", "author"), ("author", "ap", "paper")])
-    plp = hg.metapath_graph(
-        [("paper", "pl", "subject"), ("subject", "lp", "paper")])
+        hg, feats, labels = synthetic_acm(
+            seed=seed, n_papers=n_papers, n_authors=n_papers // 2,
+            n_subjects=max(20, n_papers // 30))
 
     n = feats.shape[0]
     rng = np.random.default_rng(seed)
     u = rng.random(n)   # float-mask split (HAN/utils/data_utils.py:62-69)
-    train = np.flatnonzero(u <= 0.2)
-    val = np.flatnonzero((u > 0.2) & (u <= 0.3))
-    test = np.flatnonzero(u > 0.3)
+    train = np.flatnonzero(u <= 0.2).astype(np.int32)
+    val = np.flatnonzero((u > 0.2) & (u <= 0.3)).astype(np.int32)
+    test = np.flatnonzero(u > 0.3).astype(np.int32)
+    feats = row_normalize_features(feats)
+
+    if layout == "hybrid":
+        from ..core.reorder import invert_permutation
+        graphs, perm = _hybrid_metapath_graphs(
+            hg, n, _ACM_METAPATHS, min_edges_per_tile)
+        inv = invert_permutation(perm)
+        feats, labels = feats[perm], labels[perm]
+        train, val, test = (inv[train].astype(np.int32),
+                            inv[val].astype(np.int32),
+                            inv[test].astype(np.int32))
+    else:
+        assert layout == "coo", layout
+        graphs = [hg.metapath_graph(list(k)) for k in _ACM_METAPATHS]
+
     return HeteroNodeData(
-        graphs=[pap, plp],
-        features=jnp.asarray(row_normalize_features(feats)),
+        graphs=graphs,
+        features=jnp.asarray(feats),
         labels=jnp.asarray(labels),
-        train_idx=jnp.asarray(train.astype(np.int32)),
-        val_idx=jnp.asarray(val.astype(np.int32)),
-        test_idx=jnp.asarray(test.astype(np.int32)),
+        train_idx=jnp.asarray(train),
+        val_idx=jnp.asarray(val),
+        test_idx=jnp.asarray(test),
         num_classes=int(labels.max()) + 1,
     )
 
@@ -276,34 +335,49 @@ def load_acm_gtn(path: str | None = None, seed: int = 0,
     )
 
 
-def load_imdb_han(path: str | None = None, seed: int = 0) -> HeteroNodeData:
+def load_imdb_han(path: str | None = None, seed: int = 0,
+                  layout: str = "coo",
+                  min_edges_per_tile: int = 64) -> HeteroNodeData:
     """IMDB for HAN: MAM + MDM metapath graphs over movies.
 
     Structurally isomorphic to ACM (movie=paper, actor=author,
     director=subject); real IMDB .mat files are not distributed with the
     reference, so absent a path this synthesises IMDB-shaped data
-    (3 classes: action/comedy/drama)."""
+    (3 classes: action/comedy/drama). ``layout`` as in load_acm_han."""
     if path is not None and os.path.exists(path):
         hg, feats, labels = _load_acm_mat(path)
     else:
         hg, feats, labels = synthetic_acm(
             n_papers=900, n_authors=500, n_subjects=60, n_feats=128,
             n_classes=3, seed=seed)
-    mam = hg.metapath_graph(
-        [("paper", "pa", "author"), ("author", "ap", "paper")])
-    mdm = hg.metapath_graph(
-        [("paper", "pl", "subject"), ("subject", "lp", "paper")])
     n = feats.shape[0]
     rng = np.random.default_rng(seed)
     u = rng.random(n)
+    train = np.flatnonzero(u <= 0.2).astype(np.int32)
+    val = np.flatnonzero((u > 0.2) & (u <= 0.3)).astype(np.int32)
+    test = np.flatnonzero(u > 0.3).astype(np.int32)
+    feats = row_normalize_features(feats)
+
+    if layout == "hybrid":
+        from ..core.reorder import invert_permutation
+        graphs, perm = _hybrid_metapath_graphs(
+            hg, n, _ACM_METAPATHS, min_edges_per_tile)
+        inv = invert_permutation(perm)
+        feats, labels = feats[perm], labels[perm]
+        train, val, test = (inv[train].astype(np.int32),
+                            inv[val].astype(np.int32),
+                            inv[test].astype(np.int32))
+    else:
+        assert layout == "coo", layout
+        graphs = [hg.metapath_graph(list(k)) for k in _ACM_METAPATHS]
+
     return HeteroNodeData(
-        graphs=[mam, mdm],
-        features=jnp.asarray(row_normalize_features(feats)),
+        graphs=graphs,
+        features=jnp.asarray(feats),
         labels=jnp.asarray(labels),
-        train_idx=jnp.asarray(np.flatnonzero(u <= 0.2).astype(np.int32)),
-        val_idx=jnp.asarray(
-            np.flatnonzero((u > 0.2) & (u <= 0.3)).astype(np.int32)),
-        test_idx=jnp.asarray(np.flatnonzero(u > 0.3).astype(np.int32)),
+        train_idx=jnp.asarray(train),
+        val_idx=jnp.asarray(val),
+        test_idx=jnp.asarray(test),
         num_classes=int(labels.max()) + 1,
     )
 

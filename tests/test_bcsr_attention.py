@@ -211,3 +211,48 @@ def test_neighbor_max_empty_tiles():
     np.testing.assert_allclose(np.asarray(out)[3], 0.0)
     nm = bcsr_neighbor_max(hg.bcsr, v)
     assert (np.asarray(nm) < -1e29).all()
+
+
+def test_han_hybrid_layout_matches_coo():
+    """HAN forward on hybrid-layout metapath graphs equals the COO layout
+    (up to the clustering permutation) with identical params — the
+    --layout hybrid CLI wiring (data/acm.py:_hybrid_metapath_graphs)."""
+    from graphneuralnetwork_tpu.core.graph import row_normalize_features
+    from graphneuralnetwork_tpu.data.acm import (
+        _ACM_METAPATHS, _hybrid_metapath_graphs, synthetic_acm)
+    from graphneuralnetwork_tpu.nn import HAN
+
+    hg, feats, labels = synthetic_acm(seed=0)
+    n = feats.shape[0]
+    coo_graphs = [hg.metapath_graph(list(k)) for k in _ACM_METAPATHS]
+    hyb_graphs, perm = _hybrid_metapath_graphs(hg, n, _ACM_METAPATHS, 16)
+    assert any(float(jnp.sum(g.bcsr.tiles)) > 0 for g in hyb_graphs), \
+        "expected some dense tiles on the clustered ACM metapaths"
+
+    x = jnp.asarray(row_normalize_features(feats))
+    model = HAN(num_metapaths=2, num_classes=3, hidden=8, num_heads=(2,))
+    params = model.init(jax.random.PRNGKey(0), coo_graphs, x)["params"]
+    out_coo = model.apply({"params": params}, coo_graphs, x)
+    out_hyb = model.apply({"params": params}, hyb_graphs, x[perm])
+    np.testing.assert_allclose(np.asarray(out_hyb),
+                               np.asarray(out_coo)[perm],
+                               atol=5e-5, rtol=1e-4)
+
+
+def test_graphsage_full_model_hybrid_matches_coo(fixture):
+    """Full-batch GraphSAGE on a HybridGraph equals the COO layout with
+    identical params (the --model graphsage --layout hybrid CLI path)."""
+    from graphneuralnetwork_tpu.nn import GraphSAGE
+
+    hgr, gr = fixture[0], fixture[1]
+    n = int(fixture[2].shape[0])
+    x = jnp.asarray(
+        np.random.default_rng(3).normal(size=(n, 16)).astype(np.float32))
+    for agg in ("mean", "max"):
+        model = GraphSAGE(hidden_dims=(8,), num_classes=3, aggregator=agg)
+        params = model.init(jax.random.PRNGKey(1), gr, x)["params"]
+        out_coo = model.apply({"params": params}, gr, x)
+        out_hyb = model.apply({"params": params}, hgr, x)
+        np.testing.assert_allclose(np.asarray(out_hyb),
+                                   np.asarray(out_coo),
+                                   atol=5e-5, rtol=1e-4)

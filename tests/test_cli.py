@@ -110,3 +110,15 @@ def test_repro_harness_fast_smoke(tmp_path):
     text = open(out).read()
     assert "| line |" in text and "| basis |" in text
     assert "❌" not in text
+
+
+def test_cli_han_hybrid_layout():
+    res = main(["--model", "han", "--epochs", "4", "--quiet",
+                "--layout", "hybrid"])
+    assert "test_acc" in res
+
+
+def test_cli_graphsage_hybrid_layout():
+    res = main(["--model", "graphsage", "--epochs", "20", "--quiet",
+                "--layout", "hybrid"])
+    assert res["test_acc"] > 0.3
