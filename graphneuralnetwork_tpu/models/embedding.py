@@ -104,9 +104,22 @@ def run_node2vec(data: Optional[EdgeListData] = None,
     rng = np.random.default_rng(cfg.seed)
     indptr, indices, w = csr_from_edges(
         data.senders, data.receivers, data.n_nodes, data.weights)
-    walker = Node2VecWalker(indptr, indices, p=cfg.p, q=cfg.q, weights=w)
     starts = np.tile(np.arange(data.n_nodes), cfg.num_walks)
-    walks = walker.walk(starts, cfg.walk_length, rng)
+    if cfg.device_walks:
+        import jax
+        import jax.numpy as jnp
+        from ..sampling.device_walks import (build_node2vec_tables,
+                                             device_node2vec_walks)
+        tables = build_node2vec_tables(indptr, indices, p=cfg.p, q=cfg.q,
+                                       weights=w)
+        walks = np.asarray(jax.jit(
+            device_node2vec_walks, static_argnames=("length",))(
+                jax.random.PRNGKey(cfg.seed), jnp.asarray(starts),
+                cfg.walk_length, tables))
+    else:
+        walker = Node2VecWalker(indptr, indices, p=cfg.p, q=cfg.q,
+                                weights=w)
+        walks = walker.walk(starts, cfg.walk_length, rng)
     return _train_from_walks(walks, data.n_nodes, cfg)
 
 
@@ -303,8 +316,19 @@ def run_metapath2vec(hetero=None, metapath=None, type_offsets=None,
     start_type = metapath[0][0]
     n_start = hetero.node_counts[start_type]
     starts = np.tile(np.arange(n_start), cfg.num_walks)
-    walks_local = metapath_walks(hetero, metapath, starts,
-                                 cfg.walk_length, rng)
+    if cfg.device_walks:
+        import jax
+        import jax.numpy as jnp
+        from ..sampling.device_walks import (build_metapath_tables,
+                                             device_metapath_walks)
+        legs = build_metapath_tables(hetero, metapath)
+        walks_local = np.asarray(jax.jit(
+            device_metapath_walks, static_argnames=("length",))(
+                jax.random.PRNGKey(cfg.seed), jnp.asarray(starts),
+                cfg.walk_length, legs))
+    else:
+        walks_local = metapath_walks(hetero, metapath, starts,
+                                     cfg.walk_length, rng)
     # map to global ids: position t has type metapath[(t-1) % L].dst (t>0)
     L = len(metapath)
     types = [start_type] + [metapath[(t - 1) % L][2]
