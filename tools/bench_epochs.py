@@ -1,11 +1,21 @@
-"""Epochs/s benchmark: end-to-end full-batch training throughput
-(BASELINE.md north star "epochs/s, TPU 1 chip").
+"""Epochs/s benchmark: end-to-end training throughput for every
+trainable model family (BASELINE.md north star "epochs/s, TPU 1 chip").
 
-Runs the scanned GCN/GAT training step (train/scan_loop.py — whole epoch
-blocks inside one jit dispatch) on a Cora-shaped graph and on a larger
-synthetic graph, and reports epochs/s per model.
+Two measurement modes:
 
-Usage: python tools/bench_epochs.py [--epochs 400] [--models gcn gat]
+  * ``gcn``/``gat``: the scanned full-batch step directly
+    (train/scan_loop.py — whole epoch blocks inside one jit dispatch),
+    warmed up and best-of-3, as before.
+  * every other family (SAGE host/device/hybrid, HAN coo/hybrid, GTN,
+    DeepWalk): the **delta method** through the public CLI — run the
+    same config at two epoch counts E1 < E2 and report
+    (E2-E1)/(t2-t1). Compile time, data synthesis and walk generation
+    are identical in both runs and cancel, so the quotient is pure
+    steady-state training throughput without instrumenting each loop.
+    Epoch pairs are chosen so the jitted chunk shape is identical in
+    both runs (E1, E2 both multiples of the loop's chunk size).
+
+Usage: python tools/bench_epochs.py [--models gcn gat ...] [--all]
 """
 
 import argparse
@@ -17,7 +27,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def bench_model(name: str, data, epochs: int, dtype):
+def bench_scanned(name: str, data, epochs: int, dtype):
     import jax
     import jax.numpy as jnp
     import optax
@@ -58,26 +68,74 @@ def bench_model(name: str, data, epochs: int, dtype):
     return epochs / best
 
 
+def bench_cli_delta(argv_base, e1: int, e2: int, unit="epochs"):
+    """(E2-E1)/(t2-t1) through the CLI; compile/setup cancels."""
+    from graphneuralnetwork_tpu import cli
+
+    def run(e):
+        t0 = time.perf_counter()
+        cli.main([*argv_base, "--epochs", str(e), "--quiet"])
+        return time.perf_counter() - t0
+
+    run(e1)                      # warm the jit caches for this config
+    t1 = run(e1)
+    t2 = run(e2)
+    dt = max(t2 - t1, 1e-9)
+    return (e2 - e1) / dt
+
+
+#: name -> (cli args, E1, E2). Chunk sizes: scan_loop 100 (gcn/gat),
+#: HAN 20, GTN 10, sage epoch = full minibatch pass, deepwalk epoch =
+#: one pass over the skip-gram corpus.
+DELTA_SPECS = {
+    "graphsage": (["--model", "graphsage"], 2, 6),
+    "graphsage_device": (["--model", "graphsage",
+                          "--set", "device_sampling=true"], 2, 6),
+    "graphsage_hybrid": (["--model", "graphsage", "--layout", "hybrid",
+                          "--dtype", "bfloat16"], 100, 300),
+    "han": (["--model", "han", "--dtype", "bfloat16"], 40, 120),
+    "han_hybrid": (["--model", "han", "--layout", "hybrid",
+                    "--dtype", "bfloat16"], 40, 120),
+    "gtn": (["--model", "gtn", "--dtype", "bfloat16"], 20, 60),
+    "deepwalk": (["--model", "deepwalk",
+                  "--set", "device_walks=true"], 2, 6),
+}
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=400)
     ap.add_argument("--models", nargs="+", default=["gcn", "gat"])
+    ap.add_argument("--all", action="store_true",
+                    help="bench every family (gcn gat + DELTA_SPECS)")
     ap.add_argument("--dtype", choices=["float32", "bfloat16"],
                     default="bfloat16")
     ap.add_argument("--big", action="store_true",
                     help="also bench a 65k-node / 1M-edge graph")
     args = ap.parse_args(argv)
+    models = (["gcn", "gat", *DELTA_SPECS] if args.all else args.models)
 
     from graphneuralnetwork_tpu.data import load_cora
     from graphneuralnetwork_tpu.data.planetoid import (
         NodeClassificationData, synthetic_citation_graph)
 
     results = {}
-    data = load_cora(seed=0)
-    for m in args.models:
-        results[f"{m}_cora_epochs_per_s"] = round(
-            bench_model(m, data, args.epochs, args.dtype), 2)
-        print(json.dumps({m: results[f'{m}_cora_epochs_per_s']}), flush=True)
+    data = None
+    for m in models:
+        if m in ("gcn", "gat"):
+            data = data or load_cora(seed=0)
+            results[f"{m}_cora_epochs_per_s"] = round(
+                bench_scanned(m, data, args.epochs, args.dtype), 2)
+            print(json.dumps({m: results[f'{m}_cora_epochs_per_s']}),
+                  flush=True)
+        elif m in DELTA_SPECS:
+            argv_base, e1, e2 = DELTA_SPECS[m]
+            results[f"{m}_epochs_per_s"] = round(
+                bench_cli_delta(argv_base, e1, e2), 2)
+            print(json.dumps({m: results[f'{m}_epochs_per_s']}),
+                  flush=True)
+        else:
+            raise SystemExit(f"unknown model {m!r}")
 
     if args.big:
         import jax.numpy as jnp
@@ -95,10 +153,10 @@ def main(argv=None):
             val_idx=jnp.arange(4096, 8192, dtype=jnp.int32),
             test_idx=jnp.arange(8192, 16384, dtype=jnp.int32),
             num_classes=16)
-        for m in args.models:
+        for m in [x for x in models if x in ("gcn", "gat")]:
             results[f"{m}_65k_epochs_per_s"] = round(
-                bench_model(m, big, max(args.epochs // 4, 20),
-                            args.dtype), 2)
+                bench_scanned(m, big, max(args.epochs // 4, 20),
+                              args.dtype), 2)
             print(json.dumps(
                 {m + "_65k": results[f'{m}_65k_epochs_per_s']}), flush=True)
 
