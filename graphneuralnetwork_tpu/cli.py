@@ -56,15 +56,18 @@ def main(argv=None):
                          "recipe (SGD + warmup-poly schedule with the "
                          "reference lr, GAT/train_eval.py:9-33,54, "
                          "HAN/run.py:10-11, GraphSAGE_Pytorch/run.py:8-10)")
-    ap.add_argument("--layout", choices=["coo", "hybrid"],
+    ap.add_argument("--layout", choices=["coo", "hybrid", "sparse"],
                     default="coo",
-                    help="graph layout for gcn/gat/graphsage/han: "
+                    help="graph layout for gcn/gat/graphsage/han/gtn: "
                          "'hybrid' = locality-clustered dense-tile BCSR "
                          "+ COO remainder (core/bcsr.py; 2.9-3.9x SpMM "
                          "on clustered graphs). graphsage + hybrid runs "
                          "the full-batch SAGEConv path (nn/conv.py:236); "
                          "han + hybrid tiles each metapath adjacency "
-                         "(data/acm.py:_hybrid_metapath_graphs)")
+                         "(data/acm.py:_hybrid_metapath_graphs). "
+                         "'sparse' (gtn only) = wedge-plan metapath "
+                         "composition without dense [N,N] tensors "
+                         "(nn/gtn_sparse.py, O(nnz) memory)")
     ap.add_argument("--dtype", choices=["float32", "bfloat16"],
                     default="float32",
                     help="compute dtype for gcn/gat/graphsage/han/gtn "
@@ -331,12 +334,25 @@ def main(argv=None):
             data = load_imdb_gtn(seed=args.seed)
         else:
             data = load_acm_gtn(path=args.dataset, seed=args.seed)
-        model = GTN(num_classes=data.num_classes, channels=2,
-                    num_layers=2, hidden=64,
-                    dtype=(jnp.bfloat16 if args.dtype == "bfloat16"
-                           else None))
+        cdtype = jnp.bfloat16 if args.dtype == "bfloat16" else None
+        if args.layout == "sparse":
+            # wedge-plan composition, no dense [N,N] tensors
+            # (nn/gtn_sparse.py; parameter tree identical to dense GTN)
+            from .nn.gtn_sparse import (SparseGTN, build_gtn_plan,
+                                        stacked_adj_to_sparse)
+            import numpy as _np
+            plan = build_gtn_plan(
+                stacked_adj_to_sparse(_np.asarray(data.adj)),
+                int(data.adj.shape[1]), num_layers=2)
+            model = SparseGTN(num_classes=data.num_classes, channels=2,
+                              num_layers=2, hidden=64, dtype=cdtype)
+            graph_arg = plan
+        else:
+            model = GTN(num_classes=data.num_classes, channels=2,
+                        num_layers=2, hidden=64, dtype=cdtype)
+            graph_arg = data.adj
         epochs = args.epochs or 40
-        params = model.init(jax.random.PRNGKey(args.seed), data.adj,
+        params = model.init(jax.random.PRNGKey(args.seed), graph_arg,
                             data.features)["params"]
         # adaptive per-group lr (GTN/train_utils/train_eval.py:29-34):
         # GT layers get 0.5×, others 5e-3 — implemented with masked labels
@@ -351,7 +367,7 @@ def main(argv=None):
         tgt = data.target_idx
 
         def loss_fn(p):
-            logits = model.apply({"params": p}, data.adj, data.features)
+            logits = model.apply({"params": p}, graph_arg, data.features)
             sel = logits[tgt][data.train_idx]
             return -jax.nn.log_softmax(sel)[
                 jnp.arange(sel.shape[0]),
@@ -376,7 +392,8 @@ def main(argv=None):
             done += chunk
             if verbose:
                 print(f"epoch {done}: loss {float(losses[-1]):.4f}")
-        logits = model.apply({"params": params}, data.adj, data.features)
+        logits = model.apply({"params": params}, graph_arg,
+                             data.features)
         from .train.metrics import precision_recall_fbeta
         sel = logits[tgt][data.test_idx]
         pred = np.argmax(np.asarray(sel), -1)

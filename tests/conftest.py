@@ -33,3 +33,10 @@ def rng():
 def _assert_cpu():
     assert jax.default_backend() == "cpu"
     assert len(jax.devices()) == 8
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "heavy: slow parity/integration tests. Fast CI lane: "
+        "pytest -m 'not heavy' (~2-3 min); full lane: plain pytest.")

@@ -199,6 +199,7 @@ def test_bcsr_store_guard():
         build_bcsr(s, r, n, max_bytes=64 << 20)
 
 
+@pytest.mark.heavy
 def test_gcn_trains_on_hybrid_layout():
     """load_cora(layout='hybrid') permutes nodes + splits consistently and
     the GCN trains to the same quality as on the COO layout."""

@@ -19,6 +19,8 @@ from graphneuralnetwork_tpu.ops.bcsr_attention import (
     bcsr_neighbor_max, gat_tiled_attend, hybrid_segment_max)
 from graphneuralnetwork_tpu.ops.spmm import spmm_weighted
 
+pytestmark = pytest.mark.heavy  # full-lane only; fast lane = -m 'not heavy'
+
 
 def _clustered_graph(n=640, comm=128, e=6000, inter=0.15, seed=0):
     """Community graph in cluster order → plenty of well-filled tiles."""

@@ -5,6 +5,7 @@ import pytest
 from graphneuralnetwork_tpu.cli import main
 
 
+@pytest.mark.heavy
 def test_cli_gcn_quick():
     res = main(["--model", "gcn", "--epochs", "60", "--quiet"])
     assert res["test_acc"] > 0.3
@@ -34,12 +35,14 @@ def test_cli_basis():
     assert len(res["betweenness"]) == 10
 
 
+@pytest.mark.heavy
 def test_cli_han_batch_quick():
     res = main(["--model", "han_batch", "--epochs", "2", "--quiet",
                 "--set", "batch_size=64", "--set", "patience=100"])
     assert "test_acc" in res and res["batches"] > 0
 
 
+@pytest.mark.heavy
 def test_cli_graphsage_device_sampling():
     res = main(["--model", "graphsage", "--epochs", "1", "--quiet",
                 "--set", "device_sampling=true", "--set", "batch_size=32",
@@ -87,6 +90,7 @@ def test_cli_gcn_hybrid_layout():
     assert res["test_acc"] > 0.3
 
 
+@pytest.mark.heavy
 def test_cli_gat_hybrid_layout():
     """GAT trains on the tiled layout through the public CLI (attention
     rides the dense tiles, ops/bcsr_attention.py)."""
@@ -112,13 +116,22 @@ def test_repro_harness_fast_smoke(tmp_path):
     assert "❌" not in text
 
 
+@pytest.mark.heavy
 def test_cli_han_hybrid_layout():
     res = main(["--model", "han", "--epochs", "4", "--quiet",
                 "--layout", "hybrid"])
     assert "test_acc" in res
 
 
+@pytest.mark.heavy
 def test_cli_graphsage_hybrid_layout():
     res = main(["--model", "graphsage", "--epochs", "20", "--quiet",
                 "--layout", "hybrid"])
     assert res["test_acc"] > 0.3
+
+
+@pytest.mark.heavy
+def test_cli_gtn_sparse_layout():
+    res = main(["--model", "gtn", "--epochs", "10", "--quiet",
+                "--layout", "sparse"])
+    assert "test_acc" in res and res["test_acc"] > 0.3

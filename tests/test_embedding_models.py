@@ -101,6 +101,7 @@ def test_metapath2vec_runs():
     assert history[-1][1] < history[0][1]
 
 
+@pytest.mark.heavy
 def test_gatne_link_prediction_beats_chance():
     cfg = GATNEConfig(embed_dim=32, edge_embed_dim=8, attn_dim=8,
                       num_walks=4, walk_length=8, epochs=2,
@@ -109,6 +110,7 @@ def test_gatne_link_prediction_beats_chance():
     assert metrics["auc"] > 0.6, metrics
 
 
+@pytest.mark.heavy
 def test_gatne_inductive_runs():
     cfg = GATNEConfig(embed_dim=16, edge_embed_dim=4, attn_dim=4,
                       num_walks=2, walk_length=6, epochs=1,
@@ -179,6 +181,7 @@ def test_gatne_v2_masked_bce_mode():
     assert metrics["auc"] > 0.6, metrics
 
 
+@pytest.mark.heavy
 def test_gatne_v2_sum_aggregator():
     """agg_func switch (GATNE_Pytorch/models/GATNE.py:72-77): sum vs mean
     produce different embeddings but both train."""

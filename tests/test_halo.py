@@ -14,6 +14,8 @@ from graphneuralnetwork_tpu.parallel import (
     spmm_halo,
 )
 
+pytestmark = pytest.mark.heavy  # full-lane only; fast lane = -m 'not heavy'
+
 
 @pytest.fixture(scope="module")
 def mesh():

@@ -95,6 +95,7 @@ def test_han_learns_synthetic_acm():
     assert acc > 0.5, acc  # 3 classes, chance=0.33
 
 
+@pytest.mark.heavy
 def test_gtn_learns_synthetic_acm():
     data = load_acm_gtn(seed=0, per_class_train=60, per_class_val=30)
     model = GTN(num_classes=data.num_classes, channels=2, num_layers=2,

@@ -166,3 +166,52 @@ def test_dense_gat_model_matches_sparse_model(cora):
     out_d = dense.apply({"params": params}, adj, x)
     np.testing.assert_allclose(np.asarray(out_d), np.asarray(out_s),
                                atol=3e-5, rtol=1e-4)
+
+
+@pytest.mark.heavy
+def test_sparse_gtn_matches_dense_gtn():
+    """SparseGTN over a wedge plan == dense GTN with the SAME params
+    (the parameter trees are name-compatible by construction)."""
+    import jax
+    import jax.numpy as jnp
+
+    from graphneuralnetwork_tpu.nn import GTN
+    from graphneuralnetwork_tpu.nn.gtn_sparse import (
+        SparseGTN, build_gtn_plan, stacked_adj_to_sparse)
+
+    rng = np.random.default_rng(0)
+    n, T = 60, 4
+    adj = np.zeros((T, n, n), np.float32)
+    for t in range(T - 1):
+        e = rng.integers(0, n, (2, 150))
+        adj[t][e[0], e[1]] = 1.0
+    adj[T - 1] = np.eye(n, dtype=np.float32)   # identity slice
+    x = rng.normal(size=(n, 16)).astype(np.float32)
+
+    dense = GTN(num_classes=3, channels=2, num_layers=2, hidden=8)
+    params = dense.init(jax.random.PRNGKey(0), jnp.asarray(adj),
+                        jnp.asarray(x))["params"]
+
+    plan = build_gtn_plan(stacked_adj_to_sparse(adj), n, num_layers=2)
+    sparse = SparseGTN(num_classes=3, channels=2, num_layers=2, hidden=8)
+    out_s = sparse.apply({"params": params}, plan, jnp.asarray(x))
+    out_d = dense.apply({"params": params}, jnp.asarray(adj),
+                        jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_d),
+                               atol=2e-4, rtol=2e-4)
+
+    # gradients agree too (the wedge plan is fully differentiable)
+    def loss_s(p):
+        return jnp.sum(sparse.apply({"params": p}, plan,
+                                    jnp.asarray(x)) ** 2)
+
+    def loss_d(p):
+        return jnp.sum(dense.apply({"params": p}, jnp.asarray(adj),
+                                   jnp.asarray(x)) ** 2)
+
+    gs = jax.grad(loss_s)(params)
+    gd = jax.grad(loss_d)(params)
+    for a, b in zip(jax.tree_util.tree_leaves(gs),
+                    jax.tree_util.tree_leaves(gd)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-3, rtol=3e-3)

@@ -56,6 +56,7 @@ def test_make_mesh_2d_requires_shape():
         make_mesh(("data", "model"))
 
 
+@pytest.mark.heavy
 def test_summary_writer_logs_scalars(tmp_path):
     w = SummaryWriter(str(tmp_path))
     w.add_scalar("loss/o1", 1.5, step=0)

@@ -37,6 +37,7 @@ def test_sharded_spmm_matches_single(mesh, rng):
         np.asarray(out2)[:n], np.asarray(out1), atol=1e-4)
 
 
+@pytest.mark.heavy
 def test_sharded_spmm_grad_matches_single(mesh, rng):
     n, e, f = 300, 2000, 16
     s = rng.integers(0, n, e)

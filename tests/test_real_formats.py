@@ -243,6 +243,7 @@ def test_multiplex_dir_loader(tmp_path):
     assert all(tok.startswith("n") for tok in data.vocab.idx_to_token[1:])
 
 
+@pytest.mark.heavy
 def test_multiplex_gatne_trains_on_real_files(tmp_path):
     """End-to-end: the real-file multiplex graph feeds train_gatne."""
     from graphneuralnetwork_tpu.data.edgelist import load_multiplex

@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 
 from graphneuralnetwork_tpu.data.pubmed import load_pubmed
 from graphneuralnetwork_tpu.train.sage_loop import (
@@ -73,6 +74,7 @@ def test_device_sampler_matches_host_semantics():
     assert [h.shape[0] for h in hops] == [3, 12, 36]
 
 
+@pytest.mark.heavy
 def test_sage_device_sampling_trains():
     from graphneuralnetwork_tpu.train.sage_loop import (
         SageConfig, train_sage_supervised)

@@ -1,3 +1,4 @@
+import pytest
 import optax
 
 from graphneuralnetwork_tpu.data import load_cora
@@ -16,6 +17,7 @@ def test_scan_fit_matches_plain_fit_quality():
     assert res.epochs_run <= 200
 
 
+@pytest.mark.heavy
 def test_scan_early_stop_triggers_before_budget():
     """patience_calls must cut training when val stops improving."""
     data = load_cora(seed=0)
@@ -27,6 +29,7 @@ def test_scan_early_stop_triggers_before_budget():
     assert res.epochs_run < 2000
 
 
+@pytest.mark.heavy
 def test_scan_checkpoint_save_and_resume(tmp_path):
     """Best-val checkpointing (GCN/train_eval.py:53-55) + resume
     (is_current_train, GTN/train_utils/train_eval.py:22-25): a resumed

@@ -96,6 +96,7 @@ def test_tp_han_matches_single_device():
         set_ops_impl("auto")
 
 
+@pytest.mark.heavy
 def test_tp_gtn_matches_single_device():
     _need_devices()
     from graphneuralnetwork_tpu.data import load_acm_gtn

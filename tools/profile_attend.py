@@ -4,16 +4,12 @@ open lead: kernel ~9 ms but full attend ~46 ms — find where the other
 
 Times each stage of ops/bcsr_attention.gat_tiled_attend in isolation with
 the chained-iteration methodology (same as bench.py), on the 2M-edge
-clustered community graph:
-
-  nmax_tiles      bcsr_neighbor_max (Pallas tile scan over f_src)
-  nmax_rem        COO remainder segment-max
-  tile_parts      the _tile_parts Pallas kernel (num/den from tiles)
-  rem_parts       sddmm + exp + aggregate + spmm_weighted on the remainder
-  epilogue        num + num_r, den + den_r, divide
-  full            gat_tiled_attend end to end
+clustered community graph. All graph containers are passed as jit
+ARGUMENTS — closing over them embeds 100MB+ constants into the HLO and
+the remote compile endpoint rejects the request (HTTP 413).
 
 Usage: python tools/profile_attend.py [--dtype bfloat16] [--edges N]
+       [--min-edges-per-tile 192] [--stages nmax_tiles,tile_parts,...]
 """
 
 import argparse
@@ -37,6 +33,9 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--min-edges-per-tile", type=int, default=192)
+    ap.add_argument("--stages", default=None,
+                    help="comma list: nmax_tiles,nmax_rem,tile_parts,"
+                         "rem_parts,epilogue,full")
     args = ap.parse_args()
 
     import jax
@@ -46,13 +45,11 @@ def main():
                       os.path.join(os.path.dirname(os.path.abspath(
                           __file__)), os.pardir, ".cache", "jax"))
 
-    import graphneuralnetwork_tpu as g
     from graphneuralnetwork_tpu.core.bcsr import build_hybrid
     from graphneuralnetwork_tpu.ops.bcsr_attention import (
-        NEG, _leaky, _tile_parts, bcsr_neighbor_max)
+        NEG, _leaky, _tile_parts, bcsr_neighbor_max, gat_tiled_attend)
     from graphneuralnetwork_tpu.ops.spmm import sddmm_additive, spmm_weighted
     from graphneuralnetwork_tpu.ops.aggregate import aggregate_edges
-    from graphneuralnetwork_tpu.ops.bcsr_attention import gat_tiled_attend
 
     rng = np.random.default_rng(0)
     n, e, comm = args.nodes, args.edges, args.comm
@@ -78,38 +75,33 @@ def main():
     fs = jnp.asarray(rng.normal(size=(n, heads)).astype(np.float32))
     fd = jnp.asarray(rng.normal(size=(n, heads)).astype(np.float32))
     bits = jnp.zeros((bg.tiles.shape[0], 1, 1), jnp.uint32)
-
-    # fixed m for the isolated stages (value irrelevant for timing);
-    # ONE jit so the precompute doesn't trickle through eager dispatch
-    @jax.jit
-    def _pre():
-        nmax0 = bcsr_neighbor_max(bg, fs)
-        m0 = jax.lax.stop_gradient(
-            jnp.where(nmax0 > NEG / 2, _leaky(fd + nmax0, 0.2), 0.0))
-        num0, den0 = _tile_parts(bg, bits, x, fs, fd, m0, 0.2, 1.0)
-        return m0, num0, den0
-
-    m0, num0, den0 = _pre()
+    # fixed m/num/den stand-ins (values irrelevant for stage timing)
+    m0 = jnp.zeros((n, heads), jnp.float32)
+    num0 = jnp.ones((n, heads, feat), jnp.float32)
+    den0 = jnp.ones((n, heads), jnp.float32)
 
     def timed(label, fn, *inputs):
+        """fn(*inputs) -> array; every input (incl. graph pytrees) is a
+        jit argument. The chain perturbs the first float input per
+        iteration to defeat hoisting."""
+
         @jax.jit
         def chain(*ins):
-            outs = list(ins)
+            ins = list(ins)
             acc = None
             for _ in range(args.iters):
-                out = fn(*outs)
+                out = fn(*ins)
                 acc = out if acc is None else acc * 0.5 + out
-                # perturb the first (float) input to defeat hoisting
-                outs[0] = outs[0] + (acc[..., :1, :1].astype(outs[0].dtype)
-                                     * 1e-6 if acc.ndim >= 2
-                                     else acc.astype(outs[0].dtype) * 1e-6)
+                bump = jnp.asarray(acc).ravel()[0] * 1e-6
+                ins[-1] = ins[-1] + bump.astype(ins[-1].dtype)
             return acc
+
         try:
             out = chain(*inputs)
             _ = np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
         except Exception as ex:  # noqa: BLE001
             print(f"{label:14s} FAILED {type(ex).__name__}: "
-                  f"{str(ex).splitlines()[0][:100]}", flush=True)
+                  f"{str(ex).splitlines()[0][:110]}", flush=True)
             return
         best = float("inf")
         for _ in range(3):
@@ -119,35 +111,48 @@ def main():
             best = min(best, time.perf_counter() - t0)
         print(f"{label:14s} {best / args.iters * 1e3:8.2f} ms", flush=True)
 
-    timed("nmax_tiles", lambda f: bcsr_neighbor_max(bg, f), fs)
+    want = set(args.stages.split(",")) if args.stages else None
 
-    def nmax_rem(f):
-        gathered = jnp.where(rem.edge_mask[:, None], f[rem.senders], NEG)
-        return jax.ops.segment_max(gathered, rem.receivers,
-                                   num_segments=n, indices_are_sorted=True)
-    timed("nmax_rem", nmax_rem, fs)
+    def on(name):
+        return want is None or name in want
 
-    def tile_parts(xx):
-        return _tile_parts(bg, bits, xx, fs, fd, m0, 0.2, 1.0)[0]
-    timed("tile_parts", tile_parts, x)
+    if on("nmax_tiles"):
+        timed("nmax_tiles", lambda b, f: bcsr_neighbor_max(b, f), bg, fs)
 
-    def rem_parts(xx):
-        sc = sddmm_additive(rem.senders, rem.receivers, fs, fd)
-        sc = _leaky(sc, 0.2) - m0[rem.receivers]
-        p = (rem.edge_weight[:, None] * rem.edge_mask[:, None]
-             * jnp.exp(jnp.where(sc > 0, 0.0, sc)))
-        return spmm_weighted(rem, p.astype(xx.dtype), xx) \
-            + aggregate_edges(rem, p)[:, :, None].astype(xx.dtype)
-    timed("rem_parts", rem_parts, x)
+    if on("nmax_rem"):
+        def nmax_rem(g_, f):
+            gathered = jnp.where(g_.edge_mask[:, None], f[g_.senders], NEG)
+            return jax.ops.segment_max(gathered, g_.receivers,
+                                       num_segments=n,
+                                       indices_are_sorted=True)
+        timed("nmax_rem", nmax_rem, rem, fs)
 
-    def epilogue(nn_):
-        return (nn_ + num0.astype(nn_.dtype)) / jnp.maximum(
-            den0 + den0, 1e-16)[:, :, None].astype(nn_.dtype)
-    timed("epilogue", epilogue, num0)
+    if on("tile_parts"):
+        timed("tile_parts",
+              lambda b, m, xx: _tile_parts(b, bits, xx, fs, fd, m,
+                                           0.2, 1.0)[0],
+              bg, m0, x)
 
-    def full(xx):
-        return gat_tiled_attend(hg, xx, fs, fd)
-    timed("full", full, x)
+    if on("rem_parts"):
+        def rem_parts(g_, m, xx):
+            sc = sddmm_additive(g_.senders, g_.receivers, fs, fd)
+            sc = _leaky(sc, 0.2) - m[g_.receivers]
+            p = (g_.edge_weight[:, None] * g_.edge_mask[:, None]
+                 * jnp.exp(jnp.where(sc > 0, 0.0, sc)))
+            return spmm_weighted(g_, p.astype(xx.dtype), xx) \
+                + aggregate_edges(g_, p)[:, :, None].astype(xx.dtype)
+        timed("rem_parts", rem_parts, rem, m0, x)
+
+    if on("epilogue"):
+        def epilogue(nmr, dnr, nn_):
+            return (nn_ + nmr.astype(nn_.dtype)) / jnp.maximum(
+                dnr + dnr, 1e-16)[:, :, None].astype(nn_.dtype)
+        timed("epilogue", epilogue, num0, den0,
+              num0.astype(dtype))
+
+    if on("full"):
+        timed("full", lambda g_, xx: gat_tiled_attend(g_, xx, fs, fd),
+              hg, x)
 
 
 if __name__ == "__main__":
