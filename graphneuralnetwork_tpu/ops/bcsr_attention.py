@@ -394,6 +394,43 @@ def _attend_kernel(off_ref, cnt_ref, col_ref, *refs, heads, feat, slope,
                      slope=slope, keep_prob=keep_prob)
 
 
+def _attend_fused_kernel(off_ref, cnt_ref, col_ref, *refs, heads, feat,
+                         slope, keep_prob, has_bits):
+    """Fused variant: accumulators initialise from the COO remainder's
+    num/den partials and the softmax division happens in-register at the
+    last tile slot — the [N, H·F] numerator never round-trips HBM between
+    the tile pass and the epilogue."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    if has_bits:
+        tile_ref, bits_ref, ninit_ref, dinit_ref, x_ref, fs_ref, fd_ref, \
+            m_ref, num_ref, den_ref = refs
+    else:
+        tile_ref, ninit_ref, dinit_ref, x_ref, fs_ref, fd_ref, m_ref, \
+            num_ref, den_ref = refs
+        bits_ref = None
+
+    @pl.when(j == 0)
+    def _():
+        num_ref[:] = ninit_ref[:]
+        den_ref[:] = dinit_ref[:]
+
+    @pl.when(j < cnt_ref[i])
+    def _():
+        _attend_body(tile_ref, bits_ref, x_ref, fs_ref, fd_ref, m_ref,
+                     num_ref, den_ref, heads=heads, feat=feat,
+                     slope=slope, keep_prob=keep_prob)
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _():
+        # den_ref keeps the RAW softmax mass (the VJP re-derives the
+        # clamped divisor); only the division clamps.
+        for h in range(heads):
+            d = jnp.maximum(den_ref[:, h:h + 1], 1e-16)
+            num_ref[:, h * feat:(h + 1) * feat] = (
+                num_ref[:, h * feat:(h + 1) * feat] / d)
+
+
 @functools.partial(jax.jit, static_argnames=("heads", "feat", "n_node_pad",
                                              "max_tiles", "slope",
                                              "keep_prob"))
@@ -479,6 +516,165 @@ def _parts_pallas(tiles, col_ids, tile_off, tile_cnt, bits, x2f, fsp, fdp,
     return num, den
 
 
+@functools.partial(jax.jit, static_argnames=("heads", "feat", "n_node_pad",
+                                             "max_tiles", "slope",
+                                             "keep_prob"))
+def _fused_pallas(tiles, col_ids, tile_off, tile_cnt, bits, ninit, dinit,
+                  x2f, fsp, fdp, mp, heads, feat, n_node_pad, max_tiles,
+                  slope, keep_prob):
+    """Layouts as _parts_pallas, plus ninit [N_pad, H·F] / dinit
+    [N_pad, H] f32 remainder partials. Returns (out, den_raw)."""
+    n_rb = n_node_pad // ROW_BLOCK
+    t_pad = tiles.shape[0]
+    hf = heads * feat
+    has_bits = keep_prob < 1.0
+
+    def tile_map(i, j, off, cnt, col):
+        last = off[i] + jnp.maximum(cnt[i], 1) - 1
+        t = jnp.minimum(jnp.minimum(off[i] + j, last), t_pad - 1)
+        return (t, 0, 0)
+
+    def col2_map(i, j, off, cnt, col):
+        last = off[i] + jnp.maximum(cnt[i], 1) - 1
+        t = jnp.minimum(jnp.minimum(off[i] + j, last), t_pad - 1)
+        return (col[t], 0)
+
+    def colh_map(i, j, off, cnt, col):
+        last = off[i] + jnp.maximum(cnt[i], 1) - 1
+        t = jnp.minimum(jnp.minimum(off[i] + j, last), t_pad - 1)
+        return (0, col[t])
+
+    def row_map(i, j, o, c, cl):
+        return (i, 0)
+
+    in_specs = [
+        pl.BlockSpec((1, ROW_BLOCK, COL_BLOCK), tile_map,
+                     memory_space=pltpu.VMEM),
+    ]
+    inputs = [tiles]
+    if has_bits:
+        in_specs.append(pl.BlockSpec((1, ROW_BLOCK, COL_BLOCK), tile_map,
+                                     memory_space=pltpu.VMEM))
+        inputs.append(bits)
+    in_specs += [
+        pl.BlockSpec((ROW_BLOCK, hf), row_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((ROW_BLOCK, heads), row_map,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((COL_BLOCK, hf), col2_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((heads, COL_BLOCK), colh_map,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((ROW_BLOCK, heads), row_map,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((ROW_BLOCK, heads), row_map,
+                     memory_space=pltpu.VMEM),
+    ]
+    inputs += [ninit, dinit, x2f, fsp, fdp, mp]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_rb, max_tiles),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((ROW_BLOCK, hf), row_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROW_BLOCK, heads), row_map,
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    kernel = functools.partial(
+        _attend_fused_kernel, heads=heads, feat=feat, slope=slope,
+        keep_prob=keep_prob, has_bits=has_bits)
+    out, den = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_node_pad, hf), jnp.float32),
+            jax.ShapeDtypeStruct((n_node_pad, heads), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * t_pad * ROW_BLOCK * COL_BLOCK * hf,
+            bytes_accessed=(t_pad * ROW_BLOCK * COL_BLOCK
+                            * (8 if has_bits else 4)
+                            + t_pad * COL_BLOCK * hf * x2f.dtype.itemsize
+                            + n_node_pad * hf * 8),
+            transcendentals=t_pad * ROW_BLOCK * COL_BLOCK * heads,
+        ),
+    )(tile_off, tile_cnt, col_ids, *inputs)
+    return out, den
+
+
+def _fused_impl(bg: BCSRGraph, bits, x, f_src, f_dst, m, num_init,
+                den_init, slope, keep_prob):
+    """out = (tiles_num + num_init) / max(tiles_den + den_init, eps);
+    also returns the raw total den. Pallas on TPU, XLA elsewhere."""
+    from . import _use_pallas
+
+    n, heads, feat = x.shape
+    n_pad = bg.n_node_pad
+    if _use_pallas(x):
+        x2f = _pad_rows(x.reshape(n, heads * feat), n_pad)
+        fsp = _pad_rows(f_src.astype(jnp.float32), n_pad).T
+        fdp = _pad_rows(f_dst.astype(jnp.float32), n_pad)
+        mp = _pad_rows(m, n_pad)
+        ninit = _pad_rows(num_init.reshape(n, heads * feat)
+                          .astype(jnp.float32), n_pad)
+        dinit = _pad_rows(den_init.astype(jnp.float32), n_pad)
+        out, den = _fused_pallas(
+            bg.tiles, bg.col_ids, bg.tile_off, bg.tile_cnt, bits, ninit,
+            dinit, x2f, fsp, fdp, mp, heads, feat, n_pad, bg.max_tiles,
+            float(slope), float(keep_prob))
+        return out[:n].reshape(n, heads, feat), den[:n]
+    num, den = _parts_xla(bg, bits, x, f_src, f_dst, m, float(slope),
+                          float(keep_prob))
+    den_tot = den + den_init.astype(jnp.float32)
+    out = (num + num_init.astype(jnp.float32)) \
+        / jnp.maximum(den_tot, 1e-16)[:, :, None]
+    return out, den_tot
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def _attend_fused(bg, bits, x, f_src, f_dst, m, num_init, den_init,
+                  slope, keep_prob):
+    return _fused_impl(bg, bits, x, f_src, f_dst, m, num_init, den_init,
+                       slope, keep_prob)
+
+
+def _attend_fused_fwd(bg, bits, x, f_src, f_dst, m, num_init, den_init,
+                      slope, keep_prob):
+    out, den_tot = _fused_impl(bg, bits, x, f_src, f_dst, m, num_init,
+                               den_init, slope, keep_prob)
+    return (out, den_tot), (bg, bits, x, f_src, f_dst, m, out, den_tot)
+
+
+def _attend_fused_bwd(slope, keep_prob, res, g):
+    bg, bits, x, f_src, f_dst, m, out, den_tot = res
+    g_out, g_den = g
+    den_c = jnp.maximum(den_tot, 1e-16)
+    g_out32 = g_out.astype(jnp.float32)
+    # out = num_tot / clamp(den_tot):  d num = g/den,  d den = -g·out/den
+    gn = g_out32 / den_c[:, :, None]
+    gd = g_den.astype(jnp.float32) - jnp.sum(
+        g_out32 * out.astype(jnp.float32), axis=-1) / den_c
+
+    _, vjp = jax.vjp(
+        lambda xx, fs, fd: _parts_xla(bg, bits, xx, fs, fd, m, slope,
+                                      keep_prob),
+        x, f_src, f_dst)
+    dx, dfs, dfd = vjp((gn, gd))
+
+    def zeros(tree):
+        return jax.tree_util.tree_map(
+            lambda a: (np.zeros(a.shape, jax.dtypes.float0)
+                       if jnp.issubdtype(a.dtype, jnp.integer)
+                       else jnp.zeros_like(a)), tree)
+
+    return (zeros(bg), zeros(bits), dx, dfs, dfd, jnp.zeros_like(m),
+            gn, gd)
+
+
+_attend_fused.defvjp(_attend_fused_fwd, _attend_fused_bwd)
+
+
 def _tile_parts_impl(bg: BCSRGraph, bits, x, f_src, f_dst, m, slope,
                      keep_prob):
     """Dispatch Pallas/XLA; returns (num [N,H,F] f32, den [N,H] f32)."""
@@ -559,11 +755,22 @@ def gat_tiled_attend(hg: HybridGraph, x: jax.Array, f_src: jax.Array,
     fd32 = f_dst.astype(jnp.float32)
 
     # --- exact softmax max via the monotone-LeakyReLU reduction ---
+    from . import _use_pallas
+
     nmax_t = bcsr_neighbor_max(bg, fs32)                       # [N, H]
     gathered = jnp.where(rem.edge_mask[:, None], fs32[rem.senders], NEG)
-    nmax_r = jax.ops.segment_max(gathered, rem.receivers,
-                                 num_segments=n,
-                                 indices_are_sorted=True)
+    if _use_pallas(gathered):
+        # scatter-free Pallas masked-max over the remainder's chunk spans
+        # (XLA's scatter-max measured 12 ms on the 209k-edge remainder);
+        # m is a stop-gradient, so the pallas_call is never differentiated
+        from .pallas.segment_max_kernel import segment_max_pallas
+        nmax_r = segment_max_pallas(
+            rem.chunk_off, rem.chunk_cnt, rem.receivers.reshape(-1, 1),
+            jax.lax.stop_gradient(gathered), n, rem.max_chunks)
+    else:
+        nmax_r = jax.ops.segment_max(gathered, rem.receivers,
+                                     num_segments=n,
+                                     indices_are_sorted=True)
     nmax = jnp.maximum(nmax_t, nmax_r)
     m = _leaky(fd32 + nmax, negative_slope)
     m = jnp.where(nmax > NEG / 2, m, 0.0)
@@ -572,7 +779,6 @@ def gat_tiled_attend(hg: HybridGraph, x: jax.Array, f_src: jax.Array,
     dropping = attn_dropout > 0.0 and dropout_rng is not None
     keep_prob = 1.0 - attn_dropout if dropping else 1.0
 
-    # --- tiled part ---
     if dropping:
         bits = jax.random.bits(
             jax.random.fold_in(dropout_rng, 0),
@@ -580,10 +786,12 @@ def gat_tiled_attend(hg: HybridGraph, x: jax.Array, f_src: jax.Array,
     else:
         # inert placeholder (keep_prob == 1 paths never read it)
         bits = jnp.zeros((bg.tiles.shape[0], 1, 1), jnp.uint32)
-    num, den = _tile_parts(bg, bits, x, f_src, f_dst, m,
-                           float(negative_slope), float(keep_prob))
 
-    # --- COO remainder ---
+    # --- COO remainder FIRST: its num/den partials seed the tile
+    # kernel's accumulators, and the softmax division runs in-register at
+    # the last tile slot — the [N, H·F] numerator never round-trips HBM
+    # between the tile pass and an epilogue (round-4 fusion; was ~46 ms
+    # full vs ~9 ms kernel at the 2M-edge bench shape).
     from .aggregate import aggregate_edges
     from .spmm import sddmm_additive, spmm_weighted
 
@@ -592,14 +800,15 @@ def gat_tiled_attend(hg: HybridGraph, x: jax.Array, f_src: jax.Array,
     s_rem = jnp.where(s_rem > 0, 0.0, s_rem)
     w_rem = rem.edge_weight[:, None] * rem.edge_mask[:, None]
     p_rem = w_rem * jnp.exp(s_rem)                             # [E, H]
-    den = den + aggregate_edges(rem, p_rem)
+    den_r = aggregate_edges(rem, p_rem)                        # [N, H]
     if dropping:
         keep = jax.random.bernoulli(
             jax.random.fold_in(dropout_rng, 1), keep_prob, p_rem.shape)
         p_num = jnp.where(keep, p_rem / keep_prob, 0.0)
     else:
         p_num = p_rem
-    num = num + spmm_weighted(rem, p_num.astype(x.dtype), x)
+    num_r = spmm_weighted(rem, p_num.astype(x.dtype), x)       # [N, H, F]
 
-    out = num / jnp.maximum(den, 1e-16)[:, :, None]
+    out, _ = _attend_fused(bg, bits, x, f_src, f_dst, m, num_r, den_r,
+                           float(negative_slope), float(keep_prob))
     return out.astype(x.dtype)

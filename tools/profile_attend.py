@@ -82,8 +82,10 @@ def main():
 
     def timed(label, fn, *inputs):
         """fn(*inputs) -> array; every input (incl. graph pytrees) is a
-        jit argument. The chain perturbs the first float input per
-        iteration to defeat hoisting."""
+        jit argument. The chain perturbs the last (float) input per
+        iteration to defeat hoisting, and returns a SCALAR — syncing by
+        transferring the full output through the relay costs seconds per
+        rep (536 MB for an [N, H, F] f32) and swamps the measurement."""
 
         @jax.jit
         def chain(*ins):
@@ -94,11 +96,10 @@ def main():
                 acc = out if acc is None else acc * 0.5 + out
                 bump = jnp.asarray(acc).ravel()[0] * 1e-6
                 ins[-1] = ins[-1] + bump.astype(ins[-1].dtype)
-            return acc
+            return jnp.asarray(acc).ravel()[0]
 
         try:
-            out = chain(*inputs)
-            _ = np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
+            _ = np.asarray(chain(*inputs))
         except Exception as ex:  # noqa: BLE001
             print(f"{label:14s} FAILED {type(ex).__name__}: "
                   f"{str(ex).splitlines()[0][:110]}", flush=True)
@@ -106,8 +107,7 @@ def main():
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            out = chain(*inputs)
-            _ = np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
+            _ = np.asarray(chain(*inputs))
             best = min(best, time.perf_counter() - t0)
         print(f"{label:14s} {best / args.iters * 1e3:8.2f} ms", flush=True)
 
