@@ -807,7 +807,10 @@ def gat_tiled_attend(hg: HybridGraph, x: jax.Array, f_src: jax.Array,
         p_num = jnp.where(keep, p_rem / keep_prob, 0.0)
     else:
         p_num = p_rem
-    num_r = spmm_weighted(rem, p_num.astype(x.dtype), x)       # [N, H, F]
+    # f32: _attend_fused's backward returns f32 cotangents for the init
+    # partials (its accumulators are f32), so the primals must be f32 too
+    num_r = spmm_weighted(rem, p_num.astype(x.dtype),
+                          x).astype(jnp.float32)               # [N, H, F]
 
     out, _ = _attend_fused(bg, bits, x, f_src, f_dst, m, num_r, den_r,
                            float(negative_slope), float(keep_prob))

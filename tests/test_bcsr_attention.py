@@ -258,3 +258,25 @@ def test_graphsage_full_model_hybrid_matches_coo(fixture):
         np.testing.assert_allclose(np.asarray(out_hyb),
                                    np.asarray(out_coo),
                                    atol=5e-5, rtol=1e-4)
+
+
+def test_tiled_attend_bf16_grads_finite(fixture):
+    """bf16 feature path: forward close to f32, grads finite and flowing
+    (regression: f32 cotangents against a bf16 remainder numerator threw
+    a dtype error in the fused VJP)."""
+    hg, gr, x, f_src, f_dst = fixture
+    xb = x.astype(jnp.bfloat16)
+
+    def loss(xx, fs, fd):
+        return jnp.sum(gat_tiled_attend(hg, xx, fs, fd)
+                       .astype(jnp.float32) ** 2)
+
+    g16 = jax.grad(loss, argnums=(0, 1, 2))(xb, f_src, f_dst)
+    assert g16[0].dtype == jnp.bfloat16
+    for a in g16:
+        assert bool(jnp.isfinite(a.astype(jnp.float32)).all())
+        assert float(jnp.abs(a.astype(jnp.float32)).max()) > 0.0
+    out16 = gat_tiled_attend(hg, xb, f_src, f_dst)
+    out32 = gat_tiled_attend(hg, x, f_src, f_dst)
+    np.testing.assert_allclose(np.asarray(out16, dtype=np.float32),
+                               np.asarray(out32), atol=0.06, rtol=0.06)

@@ -6,6 +6,7 @@ bitwise reproducibility under a fixed seed, which CI can assert).
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import optax
 
 from graphneuralnetwork_tpu.data import load_cora
@@ -13,6 +14,7 @@ from graphneuralnetwork_tpu.nn import GCN
 from graphneuralnetwork_tpu.train.scan_loop import fit_node_classifier_scan
 
 
+@pytest.mark.heavy
 def test_training_is_bitwise_deterministic():
     """Same seed → identical params and history, including dropout."""
     data = load_cora(seed=0)

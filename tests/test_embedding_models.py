@@ -167,6 +167,7 @@ def test_gatne_log_uniform_negative_distribution():
     assert 0.6 * expect < got < 1.6 * expect, (expect, got)
     assert counts[0] > counts[-1] > 0
 
+@pytest.mark.heavy
 def test_gatne_v2_masked_bce_mode():
     """v2 Encoder/Decoder pipeline (GATNE_Pytorch/models/GATNE.py:100-127):
     padded masked-BCE loss trains to useful link-pred quality."""

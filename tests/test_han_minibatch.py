@@ -5,6 +5,7 @@ HAN/utils/data_utils.py:92-123, train_batch HAN/train_utils/train_eval.py:29-96)
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from graphneuralnetwork_tpu.core.graph import build_graph, dense_adj
 from graphneuralnetwork_tpu.data.acm import load_acm_han
@@ -36,6 +37,7 @@ def test_dense_gat_matches_sparse_gat():
     np.testing.assert_allclose(np.asarray(dense_adj(g)), a)
 
 
+@pytest.mark.heavy
 def test_han_minibatch_learns_synthetic_acm():
     data = load_acm_han(seed=0)
     res = fit_han_minibatch(data, batch_size=32, lr=0.2, epochs=250,

@@ -66,6 +66,7 @@ def test_bipartite_projection_removes_diagonal():
     assert (0, 2) not in pairs
 
 
+@pytest.mark.heavy
 def test_han_learns_synthetic_acm():
     data = load_acm_han(seed=0)
     model = HAN(num_metapaths=len(data.graphs),

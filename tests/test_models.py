@@ -36,6 +36,7 @@ def test_gcn_forward_matches_dense_formula(cora):
     np.testing.assert_allclose(np.asarray(logits), ref, atol=2e-4)
 
 
+@pytest.mark.heavy
 def test_gat_forward_shapes_and_softmax_rows(cora):
     data = cora
     model = GAT(hidden=4, num_heads=2, num_classes=data.num_classes)
@@ -45,6 +46,7 @@ def test_gat_forward_shapes_and_softmax_rows(cora):
     assert bool(jnp.isfinite(logits).all())
 
 
+@pytest.mark.heavy
 def test_sage_forward(cora):
     data = cora
     model = GraphSAGE(hidden_dims=(32,), num_classes=data.num_classes)
@@ -54,6 +56,7 @@ def test_sage_forward(cora):
     assert bool(jnp.isfinite(logits).all())
 
 
+@pytest.mark.heavy
 def test_gcn_trains_on_synthetic_cora(cora):
     """End-to-end integration: GCN must learn the planted partition well
     above chance (SURVEY.md §4 integration oracle)."""
@@ -94,6 +97,7 @@ def test_restore_missing_checkpoint_raises(tmp_path, cora):
     with pytest.raises(FileNotFoundError):
         restore_checkpoint(str(tmp_path / "nope"), state)
 
+@pytest.mark.heavy
 def test_scan_fit_checkpoint_and_resume(tmp_path, cora):
     """--resume parity: a second fit with resume=True starts from the saved
     checkpoint (is_current_train, GTN/train_utils/train_eval.py:22-25)."""
@@ -119,6 +123,7 @@ def test_scan_fit_checkpoint_and_resume(tmp_path, cora):
         epochs_per_call=20, seed=2)
     assert res3.epochs_run == 20
 
+@pytest.mark.heavy
 def test_gcn_mixed_precision_close_and_trains(cora):
     """bf16 compute path: forward stays close to f32 and training still
     learns (f32 params, bf16 matmul/SpMM, f32 logits)."""
@@ -143,6 +148,7 @@ def test_gcn_mixed_precision_close_and_trains(cora):
     assert res.test_acc > 0.5, res
 
 
+@pytest.mark.heavy
 def test_dense_gat_model_matches_sparse_model(cora):
     """The dense GAT model (reference GAT/models/GAT.py:21-28) and the
     sparse SpGAT-equivalent share weights and must agree."""

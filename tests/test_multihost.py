@@ -72,6 +72,7 @@ def test_summary_writer_logs_scalars(tmp_path):
         assert rows[1]["step"] == 1
 
 
+@pytest.mark.heavy
 def test_summary_writer_global_step_alias_and_ctx(tmp_path):
     # torch SummaryWriter spelling (BiNE/train_utils/train_eval.py:75-77)
     with SummaryWriter(str(tmp_path)) as w:

@@ -39,6 +39,7 @@ def test_unsupervised_sage_binary_acc_improves():
     assert np.isfinite(emb).all()
 
 
+@pytest.mark.heavy
 def test_device_sampler_matches_host_semantics():
     """On-device fanout draws are valid neighbors, uniform-ish, and
     zero-degree nodes repeat themselves (sampling/device_neighbor.py)."""

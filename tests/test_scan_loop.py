@@ -6,6 +6,7 @@ from graphneuralnetwork_tpu.nn import GCN
 from graphneuralnetwork_tpu.train import fit_node_classifier_scan
 
 
+@pytest.mark.heavy
 def test_scan_fit_matches_plain_fit_quality():
     data = load_cora(seed=0)
     model = GCN(hidden=32, num_classes=data.num_classes, dropout=0.3)

@@ -36,6 +36,7 @@ def _assert_tp_matches(model_name, params, loss_fn, feats):
         ref_grads, tp_grads)
 
 
+@pytest.mark.heavy
 def test_tp_gat_matches_single_device():
     _need_devices()
     from graphneuralnetwork_tpu.data import load_cora

@@ -51,6 +51,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".cache", "jax"))
+
     import graphneuralnetwork_tpu as g
     from graphneuralnetwork_tpu.core.bcsr import build_hybrid
     from graphneuralnetwork_tpu.ops import edge_softmax, set_ops_impl
@@ -118,10 +122,13 @@ def main():
         def chain(xx, a, b):
             (xx, a, b), _ = jax.lax.scan(step, (xx, a, b), None,
                                          length=args.iters)
-            return xx
+            # scalar return: syncing a full [N, H, F] through the relay
+            # costs seconds per rep and block_until_ready undercounts
+            # (verify SKILL.md) — a 4-byte transfer is the honest sync
+            return xx.ravel()[0].astype(jnp.float32)
 
         try:
-            out = jax.block_until_ready(chain(x, fs, fd))
+            _ = np.asarray(chain(x, fs, fd))
         except Exception as ex:  # noqa: BLE001 — report OOM etc. and move on
             print(f"{label:28s} FAILED: {type(ex).__name__}: "
                   f"{str(ex).splitlines()[0][:120]}")
@@ -129,8 +136,7 @@ def main():
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            out = chain(x, fs, fd)
-            jax.block_until_ready(out)
+            _ = np.asarray(chain(x, fs, fd))
             best = min(best, (time.perf_counter() - t0) / args.iters)
         print(f"{label:28s} {best*1e3:8.2f} ms   "
               f"{e_real/best/1e6:8.1f} Medges/s")
