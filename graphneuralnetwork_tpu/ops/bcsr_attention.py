@@ -247,6 +247,46 @@ def _nmax_bwd(res, g):
 bcsr_neighbor_max.defvjp(_nmax_fwd, _nmax_bwd)
 
 
+@jax.custom_vjp
+def _rem_segment_max(rem, gathered: jax.Array) -> jax.Array:
+    """Per-receiver max of pre-gathered, pre-masked edge values — Pallas
+    scatter-free kernel on TPU (XLA's scatter-max costs ~60 ns/edge),
+    XLA segment_max elsewhere. Empty segments yield NEG-ish sentinels."""
+    from . import _use_pallas
+
+    if _use_pallas(gathered):
+        from .pallas.segment_max_kernel import segment_max_pallas
+        return segment_max_pallas(
+            rem.chunk_off, rem.chunk_cnt, rem.receivers.reshape(-1, 1),
+            gathered, rem.n_nodes, rem.max_chunks)
+    return jax.ops.segment_max(gathered, rem.receivers,
+                               num_segments=rem.n_nodes,
+                               indices_are_sorted=True)
+
+
+def _rem_segment_max_fwd(rem, gathered):
+    return _rem_segment_max(rem, gathered), (rem, gathered)
+
+
+def _rem_segment_max_bwd(res, g):
+    rem, gathered = res
+    # max-pool gradient (cotangent to the argmax edges) via the XLA
+    # formulation's VJP — pallas_call itself is never differentiated
+    _, vjp = jax.vjp(
+        lambda gg: jax.ops.segment_max(gg, rem.receivers,
+                                       num_segments=rem.n_nodes,
+                                       indices_are_sorted=True), gathered)
+    (dg,) = vjp(g)
+    drem = jax.tree_util.tree_map(
+        lambda a: (np.zeros(a.shape, jax.dtypes.float0)
+                   if jnp.issubdtype(a.dtype, jnp.integer)
+                   else jnp.zeros_like(a)), rem)
+    return (drem, dg)
+
+
+_rem_segment_max.defvjp(_rem_segment_max_fwd, _rem_segment_max_bwd)
+
+
 def hybrid_segment_max(hg: HybridGraph, x: jax.Array,
                        empty_value: float = 0.0) -> jax.Array:
     """Per-node max over ALL in-neighbors of a HybridGraph (tiles + COO
@@ -257,9 +297,7 @@ def hybrid_segment_max(hg: HybridGraph, x: jax.Array,
     rem = hg.rem
     gathered = jnp.where(rem.edge_mask[:, None],
                          x.astype(jnp.float32)[rem.senders], NEG)
-    rmax = jax.ops.segment_max(gathered, rem.receivers,
-                               num_segments=rem.n_nodes,
-                               indices_are_sorted=True)
+    rmax = _rem_segment_max(rem, gathered)
     out = jnp.maximum(tmax, rmax)
     out = jnp.where(out > NEG / 2, out, empty_value)
     return out.astype(x.dtype)
@@ -755,22 +793,11 @@ def gat_tiled_attend(hg: HybridGraph, x: jax.Array, f_src: jax.Array,
     fd32 = f_dst.astype(jnp.float32)
 
     # --- exact softmax max via the monotone-LeakyReLU reduction ---
-    from . import _use_pallas
-
+    # (remainder max on the scatter-free Pallas kernel; XLA's scatter-max
+    # measured 12 ms on the 209k-edge remainder)
     nmax_t = bcsr_neighbor_max(bg, fs32)                       # [N, H]
     gathered = jnp.where(rem.edge_mask[:, None], fs32[rem.senders], NEG)
-    if _use_pallas(gathered):
-        # scatter-free Pallas masked-max over the remainder's chunk spans
-        # (XLA's scatter-max measured 12 ms on the 209k-edge remainder);
-        # m is a stop-gradient, so the pallas_call is never differentiated
-        from .pallas.segment_max_kernel import segment_max_pallas
-        nmax_r = segment_max_pallas(
-            rem.chunk_off, rem.chunk_cnt, rem.receivers.reshape(-1, 1),
-            jax.lax.stop_gradient(gathered), n, rem.max_chunks)
-    else:
-        nmax_r = jax.ops.segment_max(gathered, rem.receivers,
-                                     num_segments=n,
-                                     indices_are_sorted=True)
+    nmax_r = _rem_segment_max(rem, jax.lax.stop_gradient(gathered))
     nmax = jnp.maximum(nmax_t, nmax_r)
     m = _leaky(fd32 + nmax, negative_slope)
     m = jnp.where(nmax > NEG / 2, m, 0.0)

@@ -280,3 +280,27 @@ def test_tiled_attend_bf16_grads_finite(fixture):
     out32 = gat_tiled_attend(hg, x, f_src, f_dst)
     np.testing.assert_allclose(np.asarray(out16, dtype=np.float32),
                                np.asarray(out32), atol=0.06, rtol=0.06)
+
+
+def test_hybrid_segment_max_grads_match_coo(fixture):
+    """Max-pool gradients route to the argmax neighbors — parity with the
+    plain segment_max path (exercises _rem_segment_max's custom VJP)."""
+    from graphneuralnetwork_tpu.ops import segment_max
+
+    hgr, gr = fixture[0], fixture[1]
+    n = int(fixture[2].shape[0])
+    x = jnp.asarray(
+        np.random.default_rng(7).normal(size=(n, 8)).astype(np.float32))
+    c = jnp.asarray(
+        np.random.default_rng(8).normal(size=(n, 8)).astype(np.float32))
+
+    def loss_h(xx):
+        return jnp.sum(hybrid_segment_max(hgr, xx) * c)
+
+    def loss_c(xx):
+        return jnp.sum(segment_max(xx[gr.senders], gr.receivers, n,
+                                   mask=gr.edge_mask) * c)
+
+    gh = jax.grad(loss_h)(x)
+    gc = jax.grad(loss_c)(x)
+    np.testing.assert_allclose(np.asarray(gh), np.asarray(gc), atol=1e-5)
