@@ -97,6 +97,8 @@ DELTA_SPECS = {
     "han_hybrid": (["--model", "han", "--layout", "hybrid",
                     "--dtype", "bfloat16"], 40, 120),
     "gtn": (["--model", "gtn", "--dtype", "bfloat16"], 20, 60),
+    "gtn_sparse": (["--model", "gtn", "--layout", "sparse",
+                    "--dtype", "bfloat16"], 20, 60),
     "deepwalk": (["--model", "deepwalk",
                   "--set", "device_walks=true"], 2, 6),
 }
