@@ -208,3 +208,32 @@ def test_gatne_rejects_unknown_loss_and_aggregator():
         m.init(jax.random.PRNGKey(0), jnp.zeros((1,), jnp.int32),
                jnp.zeros((1,), jnp.int32),
                jnp.zeros((1, 1, 2), jnp.int32))
+
+
+def test_skipgram_device_loop_matches_host_quality():
+    """The scanned on-device epoch loop (train_skipgram device_loop=True)
+    trains to the same quality as the host-streamed loop."""
+    import optax
+
+    from graphneuralnetwork_tpu.nn.embed import SkipGram
+    from graphneuralnetwork_tpu.sampling.skipgram import skipgram_dataset
+    from graphneuralnetwork_tpu.train.embed_loop import train_skipgram
+
+    rng = np.random.default_rng(0)
+    n = 60
+    walks = np.stack([(np.arange(8) + s) % n for s in range(n)] * 4)
+    arrays = skipgram_dataset(walks, n, window=3, num_negatives=3,
+                              rng=rng, subsample_t=None)
+    model = SkipGram(vocab_size=n, embed_dim=16)
+
+    _, hist_host = train_skipgram(
+        model, arrays, epochs=3, batch_size=64,
+        optimizer=optax.adam(5e-2), seed=0, device_loop=False)
+    _, hist_dev = train_skipgram(
+        model, arrays, epochs=3, batch_size=64,
+        optimizer=optax.adam(5e-2), seed=0, device_loop=True)
+    # both descend, ending in the same ballpark
+    assert hist_host[-1][1] < hist_host[0][1]
+    assert hist_dev[-1][1] < hist_dev[0][1]
+    assert abs(hist_dev[-1][1] - hist_host[-1][1]) < 0.15, (
+        hist_dev[-1], hist_host[-1])
