@@ -234,12 +234,14 @@ def main(argv=None):
         import jax
         import jax.numpy as jnp
 
+        overrides = dict(kv.split("=", 1) for kv in (args.set or []))
         if args.dataset == "imdb":
             from .data import load_imdb_han
             data = load_imdb_han(seed=args.seed, layout=args.layout)
         else:
-            data = load_acm_han(path=args.dataset, seed=args.seed,
-                                layout=args.layout)
+            data = load_acm_han(
+                path=args.dataset, seed=args.seed, layout=args.layout,
+                n_papers=int(overrides.get("n_papers", 600)))
         model = HAN(num_metapaths=len(data.graphs),
                     num_classes=data.num_classes, hidden=8, num_heads=(4,),
                     dtype=(jnp.bfloat16 if args.dtype == "bfloat16"
@@ -279,18 +281,28 @@ def main(argv=None):
                 body, (params, opt_state), None, length=chunk)
             return params, opt_state, losses
 
-        done = 0
+        import time as _time
+        done, t_after_first = 0, None
+        t0_train = _time.perf_counter()
         while done < epochs:
             params, opt_state, losses = run_chunk(params, opt_state)
+            _ = float(losses[-1])          # sync (scalar transfer)
             done += chunk
+            if t_after_first is None:
+                t_after_first = _time.perf_counter()
             if verbose:
                 print(f"epoch {done}: loss {float(losses[-1]):.4f}")
+        t_end = _time.perf_counter()
         logits = model.apply({"params": params}, data.graphs, data.features)
         import numpy as np
         pred = np.argmax(np.asarray(logits)[np.asarray(data.test_idx)], -1)
         acc = float((pred == np.asarray(
             data.labels)[np.asarray(data.test_idx)]).mean())
-        result = dict(test_acc=acc)
+        result = dict(test_acc=acc, seconds=t_end - t0_train)
+        if done > chunk:
+            # steady-state throughput: excludes the first (compiling) chunk
+            result["steady_epochs_per_s"] = ((done - chunk)
+                                             / (t_end - t_after_first))
 
     elif name == "han_batch":
         # HAN node-minibatch mode (reference is_batch=True: batch=32 dense
@@ -386,12 +398,18 @@ def main(argv=None):
                 body, (params, opt_state), None, length=chunk)
             return params, opt_state, losses
 
-        done = 0
+        import time as _time
+        done, t_after_first = 0, None
+        t0_train = _time.perf_counter()
         while done < epochs:
             params, opt_state, losses = run_chunk(params, opt_state)
+            _ = float(losses[-1])          # sync (scalar transfer)
             done += chunk
+            if t_after_first is None:
+                t_after_first = _time.perf_counter()
             if verbose:
                 print(f"epoch {done}: loss {float(losses[-1]):.4f}")
+        t_end = _time.perf_counter()
         logits = model.apply({"params": params}, graph_arg,
                              data.features)
         from .train.metrics import precision_recall_fbeta
@@ -402,7 +420,10 @@ def main(argv=None):
         prec, rec, f1 = precision_recall_fbeta(
             sel, jnp.asarray(labels), data.num_classes)
         result = dict(test_acc=acc, f1=float(f1), precision=float(prec),
-                      recall=float(rec))
+                      recall=float(rec), seconds=t_end - t0_train)
+        if done > chunk:
+            result["steady_epochs_per_s"] = ((done - chunk)
+                                             / (t_end - t_after_first))
 
     elif name in ("deepwalk", "node2vec", "struc2vec"):
         from .data.edgelist import load_edgelist
