@@ -204,12 +204,29 @@ def run_line(data: Optional[EdgeListData] = None,
     c, cn, lab, mask = batchify(centers, contexts, negs)
 
     model = LINEModel(vocab_size=n, embed_dim=cfg.embed_dim)
+
+    def line_device_loss(p, centers_b, ctx_b, labels_b, mask_b, w_b):
+        # LINE loss in scan-able form (same math as make_line_step):
+        # BCE(first) + per-center-pagerank-weighted BCE(second)
+        from ..train.metrics import masked_sigmoid_bce
+
+        first, second = model.apply({"params": p}, centers_b, ctx_b)
+        l1 = masked_sigmoid_bce(first, labels_b, mask_b)
+        l2 = masked_sigmoid_bce(second * w_b[:, None], labels_b, mask_b)
+        return l1 + l2, jnp_zero()
+
+    import jax.numpy as _jnp
+
+    def jnp_zero():
+        return _jnp.float32(0.0)
+
     params, history = train_skipgram(
         model, (c, cn, lab, mask),
         epochs=cfg.epochs, batch_size=cfg.batch_size,
         optimizer=optax.adam(cfg.lr), seed=cfg.seed,
         step_fn_factory=make_line_step,
-        extra_batch_arrays=(pr.astype(np.float32),))
+        extra_batch_arrays=(pr.astype(np.float32),),
+        device_loss_fn=line_device_loss)
     return get_embedding(params, "vertex"), history
 
 

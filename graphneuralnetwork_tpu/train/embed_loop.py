@@ -84,6 +84,7 @@ def train_skipgram(
     step_fn_factory: Callable = make_skipgram_step,
     extra_batch_arrays: tuple = (),
     device_loop: Optional[bool] = None,
+    device_loss_fn: Optional[Callable] = None,
 ):
     """Generic minibatch trainer; ``arrays`` = (centers, ctx_neg, labels,
     mask) [+ extras]. Returns (params, history).
@@ -92,8 +93,9 @@ def train_skipgram(
     epoch (shuffle + every batch step) inside ONE ``lax.scan`` dispatch —
     the host-streamed loop pays ~30 ms of tunnel latency per 256-row
     batch, which dominates wall-clock for every embedder on TPU. Default:
-    on for the plain skip-gram step on accelerators, off for custom step
-    factories (e.g. LINE's, which is scan-compatible but host-weighted).
+    on for accelerators when the loss is scan-expressible (the plain
+    skip-gram step, or a caller-supplied ``device_loss_fn(params,
+    *batch) -> (loss, acc)`` such as LINE's weighted loss).
     """
     from ..sampling.skipgram import minibatches
 
@@ -107,7 +109,8 @@ def train_skipgram(
     opt_state = tx.init(params)
     all_arrays = tuple(arrays) + tuple(extra_batch_arrays)
     if device_loop is None:
-        device_loop = (step_fn_factory is make_skipgram_step
+        device_loop = ((step_fn_factory is make_skipgram_step
+                        or device_loss_fn is not None)
                        and jax.default_backend() != "cpu")
 
     history = []
@@ -127,19 +130,23 @@ def train_skipgram(
 
             def body(carry, batch):
                 p, o = carry
-                centers_b, ctx_b, labels_b, mask_b = batch[:4]
+                if device_loss_fn is not None:
+                    (loss, acc), grads = jax.value_and_grad(
+                        device_loss_fn, has_aux=True)(p, *batch)
+                else:
+                    centers_b, ctx_b, labels_b, mask_b = batch[:4]
 
-                def loss_fn(pp):
-                    logits = model.apply({"params": pp}, centers_b,
-                                         ctx_b)
-                    return masked_sigmoid_bce(logits, labels_b,
-                                              mask_b), logits
+                    def loss_fn(pp):
+                        logits = model.apply({"params": pp}, centers_b,
+                                             ctx_b)
+                        return masked_sigmoid_bce(logits, labels_b,
+                                                  mask_b), logits
 
-                (loss, logits), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True)(p)
+                    (loss, logits), grads = jax.value_and_grad(
+                        loss_fn, has_aux=True)(p)
+                    acc = binary_accuracy(logits, labels_b, mask_b)
                 upd, o = tx.update(grads, o, p)
                 p = optax.apply_updates(p, upd)
-                acc = binary_accuracy(logits, labels_b, mask_b)
                 return (p, o), (loss, acc)
 
             (params, opt_state), (losses, accs) = jax.lax.scan(

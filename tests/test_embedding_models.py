@@ -237,3 +237,26 @@ def test_skipgram_device_loop_matches_host_quality():
     assert hist_dev[-1][1] < hist_dev[0][1]
     assert abs(hist_dev[-1][1] - hist_host[-1][1]) < 0.15, (
         hist_dev[-1], hist_host[-1])
+
+
+def test_line_device_loop_matches_host_quality():
+    """LINE's weighted loss through the scanned device loop trains to the
+    same quality as the host-streamed path."""
+    from graphneuralnetwork_tpu.models import LINEConfig, run_line
+
+    cfg = LINEConfig(epochs=2, embed_dim=16, batch_size=64, seed=0)
+    emb_h, hist_h = run_line(cfg=cfg)
+    # force the device loop on CPU by monkeypatching the default check
+    import graphneuralnetwork_tpu.train.embed_loop as el
+    import jax
+
+    orig = jax.default_backend
+    try:
+        jax.default_backend = lambda: "tpu"   # noqa: PLW0603 (test-local)
+        emb_d, hist_d = run_line(cfg=cfg)
+    finally:
+        jax.default_backend = orig
+    assert hist_h[-1][1] < hist_h[0][1]
+    assert hist_d[-1][1] < hist_d[0][1]
+    assert abs(hist_d[-1][1] - hist_h[-1][1]) < 0.2, (
+        hist_d[-1], hist_h[-1])
