@@ -284,18 +284,50 @@ def run_sdne(data: Optional[EdgeListData] = None,
         return optax.apply_updates(params, updates), opt_state, loss
 
     history = []
-    idx = np.arange(n)
-    for epoch in range(1, cfg.epochs + 1):
-        rng.shuffle(idx)
-        tot, nb = 0.0, 0
-        for i in range(0, n - cfg.batch_size + 1, cfg.batch_size):
-            sel = idx[i:i + cfg.batch_size]
-            rows = jnp.asarray(a[sel])
-            sub_a = jnp.asarray(a[np.ix_(sel, sel)])
-            params, opt_state, loss = step(params, opt_state, rows, sub_a)
-            tot += float(loss)
-            nb += 1
-        history.append((epoch, tot / max(nb, 1)))
+    nb = max((n - cfg.batch_size) // cfg.batch_size + 1, 1) \
+        if n >= cfg.batch_size else 0
+    if jax.default_backend() != "cpu" and nb > 0:
+        # device epoch loop: A stays resident, batch row/sub-matrix
+        # gathers happen on device, one lax.scan dispatch per epoch
+        # (the host loop pays ~30 ms tunnel latency per batch)
+        a_dev = jnp.asarray(a)
+        bs = cfg.batch_size
+
+        @jax.jit
+        def epoch_fn(params, opt_state, key):
+            perm = jax.random.permutation(key, n)[: nb * bs]
+            sels = perm.reshape(nb, bs)
+
+            def body(carry, sel):
+                p, o = carry
+                p, o, loss = step(p, o, a_dev[sel],
+                                  a_dev[sel[:, None], sel[None, :]])
+                return (p, o), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), sels)
+            return params, opt_state, losses.mean()
+
+        key = jax.random.PRNGKey(cfg.seed ^ 0x50E)
+        for epoch in range(1, cfg.epochs + 1):
+            key, sub = jax.random.split(key)
+            params, opt_state, mean_loss = epoch_fn(params, opt_state,
+                                                    sub)
+            history.append((epoch, float(mean_loss)))
+    else:
+        idx = np.arange(n)
+        for epoch in range(1, cfg.epochs + 1):
+            rng.shuffle(idx)
+            tot, k = 0.0, 0
+            for i in range(0, n - cfg.batch_size + 1, cfg.batch_size):
+                sel = idx[i:i + cfg.batch_size]
+                rows = jnp.asarray(a[sel])
+                sub_a = jnp.asarray(a[np.ix_(sel, sel)])
+                params, opt_state, loss = step(params, opt_state, rows,
+                                               sub_a)
+                tot += float(loss)
+                k += 1
+            history.append((epoch, tot / max(k, 1)))
 
     import jax.numpy as jnp2
     y, _ = model.apply({"params": params}, jnp2.asarray(a))

@@ -260,3 +260,22 @@ def test_line_device_loop_matches_host_quality():
     assert hist_d[-1][1] < hist_d[0][1]
     assert abs(hist_d[-1][1] - hist_h[-1][1]) < 0.2, (
         hist_d[-1], hist_h[-1])
+
+
+def test_sdne_device_loop_matches_host_quality():
+    from graphneuralnetwork_tpu.models import SDNEConfig, run_sdne
+    import jax
+
+    cfg = SDNEConfig(epochs=3, seed=0)
+    emb_h, hist_h = run_sdne(cfg=cfg)
+    orig = jax.default_backend
+    try:
+        jax.default_backend = lambda: "tpu"
+        emb_d, hist_d = run_sdne(cfg=cfg)
+    finally:
+        jax.default_backend = orig
+    assert hist_h[-1][1] < hist_h[0][1]
+    assert hist_d[-1][1] < hist_d[0][1]
+    rel = abs(hist_d[-1][1] - hist_h[-1][1]) / max(abs(hist_h[-1][1]),
+                                                   1e-9)
+    assert rel < 0.3, (hist_d[-1], hist_h[-1])
