@@ -294,14 +294,16 @@ def run_sdne(data: Optional[EdgeListData] = None,
         bs = cfg.batch_size
 
         @jax.jit
-        def epoch_fn(params, opt_state, key):
+        def epoch_fn(params, opt_state, key, a_in):
+            # a passed as a jit argument (closure constants bloat the
+            # remote-compile request body)
             perm = jax.random.permutation(key, n)[: nb * bs]
             sels = perm.reshape(nb, bs)
 
             def body(carry, sel):
                 p, o = carry
-                p, o, loss = step(p, o, a_dev[sel],
-                                  a_dev[sel[:, None], sel[None, :]])
+                p, o, loss = step(p, o, a_in[sel],
+                                  a_in[sel[:, None], sel[None, :]])
                 return (p, o), loss
 
             (params, opt_state), losses = jax.lax.scan(
@@ -312,7 +314,7 @@ def run_sdne(data: Optional[EdgeListData] = None,
         for epoch in range(1, cfg.epochs + 1):
             key, sub = jax.random.split(key)
             params, opt_state, mean_loss = epoch_fn(params, opt_state,
-                                                    sub)
+                                                    sub, a_dev)
             history.append((epoch, float(mean_loss)))
     else:
         idx = np.arange(n)

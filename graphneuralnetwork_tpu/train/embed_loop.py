@@ -119,14 +119,17 @@ def train_skipgram(
     if device_loop:
         n = len(centers)
         nb = max(n // batch_size, 1)
+        # arrays are jit ARGUMENTS: closing over them embeds the whole
+        # corpus as HLO constants and the remote compile endpoint
+        # rejects the request (HTTP 413) for large corpora (struc2vec)
         dev_arrays = tuple(jnp.asarray(a) for a in all_arrays)
 
         @jax.jit
-        def epoch_fn(params, opt_state, key):
+        def epoch_fn(params, opt_state, key, *arrs):
             perm = jax.random.permutation(key, n)[: nb * batch_size]
             batches = tuple(a[perm].reshape((nb, batch_size)
                                             + a.shape[1:])
-                            for a in dev_arrays)
+                            for a in arrs)
 
             def body(carry, batch):
                 p, o = carry
@@ -157,7 +160,7 @@ def train_skipgram(
         for epoch in range(1, epochs + 1):
             key, sub = jax.random.split(key)
             params, opt_state, loss, acc = epoch_fn(params, opt_state,
-                                                    sub)
+                                                    sub, *dev_arrays)
             history.append((epoch, float(loss), float(acc)))
             if verbose:
                 print(f"epoch {epoch}: loss {history[-1][1]:.4f} "
