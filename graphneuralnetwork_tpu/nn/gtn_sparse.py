@@ -290,12 +290,24 @@ class SparseGTN(nn.Module):
             return vals / jnp.maximum(deg[:, row], 1e-12)
 
         def compose(h_vals, mix, s):
-            """H' = h @ (Σ_u mix_u A_u) via the wedge plan of step s."""
-            coef = mix[:, plan.step_type[s]] * plan.step_a_val[s][None, :]
-            contrib = h_vals[:, plan.step_h_idx[s]] * coef   # [C, W]
-            return jax.ops.segment_sum(
-                contrib.T, plan.step_out[s],
-                num_segments=plan.nnz[s + 1]).T
+            """H' = h @ (Σ_u mix_u A_u) via the wedge plan of step s.
+
+            Flattened formulation: channels fold into the gather/scatter
+            ids so every array is 1-D. The [W, C] form OOMed at scale —
+            XLA copied the wedge tensor into a (8,128)-tiled layout in
+            the backward pass, padding C=2 lanes to 128 (64× expansion,
+            14.6 GB at 30M wedges)."""
+            nnz_in, nnz_out = plan.nnz[s], plan.nnz[s + 1]
+            n_t = plan.n_types
+            ch = jnp.arange(C, dtype=jnp.int32)[:, None]
+            gidx = (ch * nnz_in + plan.step_h_idx[s][None, :]).reshape(-1)
+            oidx = (ch * nnz_out + plan.step_out[s][None, :]).reshape(-1)
+            cidx = (ch * n_t + plan.step_type[s][None, :]).reshape(-1)
+            coef = mix.reshape(-1)[cidx] * jnp.tile(plan.step_a_val[s], C)
+            vals = h_vals.reshape(-1)[gidx] * coef               # [C·W]
+            out = jax.ops.segment_sum(vals, oidx,
+                                      num_segments=C * nnz_out)
+            return out.reshape(C, nnz_out)
 
         m1, m2 = _GTLayerParams(C, plan.n_types, first=True,
                                 name="gt0")()
