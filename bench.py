@@ -64,6 +64,7 @@ SECTIONS = [
     ("spmm_bf16", 150),
     ("sddmm", 120),
     ("clustered_f32", 120),
+    ("spmm_f32", 120),
 ]
 # Extra allowance for the worker's first result line (device claim/init
 # tax + first compiles).

@@ -85,6 +85,9 @@ def main(argv=None):
 
     name = args.model
     result = {}
+    # raw --set key/value map for branches that read individual fields
+    # (dataclass-config branches keep using _apply_overrides)
+    overrides = dict(kv.split("=", 1) for kv in (args.set or []))
 
     if name in ("gcn", "gat"):
         from .data import load_cora
@@ -155,37 +158,17 @@ def main(argv=None):
         # Full-batch SAGEConv on the locality-clustered hybrid layout
         # (SAGEConv dispatches on HybridGraph, nn/conv.py:236-252) — the
         # fast path for graphs that fit on-chip; the sampled mini-batch
-        # reference pipeline stays under --layout coo.
+        # reference pipeline stays under --layout coo. Layout
+        # construction lives in the data layer like the other loaders.
         import jax.numpy as jnp
-        import numpy as np
 
-        from .core.bcsr import build_hybrid
-        from .core.graph import row_normalize_features, symmetrize
-        from .core.reorder import (invert_permutation, locality_order,
-                                   relabel_edges)
-        from .data.planetoid import NodeClassificationData
-        from .data.pubmed import load_pubmed
+        from .data.pubmed import load_pubmed_fullbatch
         from .nn import GraphSAGE
         from .train.schedule import make_optimizer
         from .train.scan_loop import fit_node_classifier_scan
 
-        sd = load_pubmed(root=args.dataset, seed=args.seed)
-        n = sd.features.shape[0]
-        s, r = symmetrize(sd.senders, sd.receivers)
-        perm = locality_order(s, r, n)
-        inv = invert_permutation(perm)
-        s2, r2 = relabel_edges(perm, s, r)
-        data = NodeClassificationData(
-            graph=build_hybrid(s2, r2, n, min_edges_per_tile=64,
-                               symmetric=True),
-            features=jnp.asarray(
-                row_normalize_features(sd.features[perm])),
-            labels=jnp.asarray(sd.labels[perm]),
-            train_idx=jnp.asarray(inv[sd.train_idx].astype(np.int32)),
-            val_idx=jnp.asarray(inv[sd.val_idx].astype(np.int32)),
-            test_idx=jnp.asarray(inv[sd.test_idx].astype(np.int32)),
-            num_classes=sd.num_classes)
-        overrides = dict(kv.split("=", 1) for kv in (args.set or []))
+        data = load_pubmed_fullbatch(root=args.dataset, seed=args.seed,
+                                     layout="hybrid")
         cdtype = jnp.bfloat16 if args.dtype == "bfloat16" else None
         model = GraphSAGE(
             hidden_dims=(128,), num_classes=data.num_classes,
@@ -234,7 +217,6 @@ def main(argv=None):
         import jax
         import jax.numpy as jnp
 
-        overrides = dict(kv.split("=", 1) for kv in (args.set or []))
         if args.dataset == "imdb":
             from .data import load_imdb_han
             data = load_imdb_han(seed=args.seed, layout=args.layout)
@@ -317,7 +299,6 @@ def main(argv=None):
             data = load_imdb_han(seed=args.seed)
         else:
             data = load_acm_han(path=args.dataset, seed=args.seed)
-        overrides = dict(kv.split("=", 1) for kv in (args.set or []))
         res = fit_han_minibatch(
             data,
             batch_size=int(overrides.get("batch_size", 32)),
@@ -378,8 +359,8 @@ def main(argv=None):
         opt_state = tx.init(params)
         tgt = data.target_idx
 
-        def loss_fn(p):
-            logits = model.apply({"params": p}, graph_arg, data.features)
+        def loss_fn(p, g_in):
+            logits = model.apply({"params": p}, g_in, data.features)
             sel = logits[tgt][data.train_idx]
             return -jax.nn.log_softmax(sel)[
                 jnp.arange(sel.shape[0]),
@@ -387,11 +368,14 @@ def main(argv=None):
 
         chunk = min(10, epochs)
 
+        # graph passed as a jit argument: closing over a large dense
+        # stack or wedge plan embeds it as HLO constants and the remote
+        # compile rejects the request body at scale (HTTP 413)
         @jax.jit
-        def run_chunk(params, opt_state):
+        def run_chunk(params, opt_state, g_in):
             def body(carry, _):
                 params, opt_state = carry
-                loss, grads = jax.value_and_grad(loss_fn)(params)
+                loss, grads = jax.value_and_grad(loss_fn)(params, g_in)
                 upd, opt_state = tx.update(grads, opt_state, params)
                 return (optax.apply_updates(params, upd), opt_state), loss
             (params, opt_state), losses = jax.lax.scan(
@@ -402,7 +386,8 @@ def main(argv=None):
         done, t_after_first = 0, None
         t0_train = _time.perf_counter()
         while done < epochs:
-            params, opt_state, losses = run_chunk(params, opt_state)
+            params, opt_state, losses = run_chunk(params, opt_state,
+                                                  graph_arg)
             _ = float(losses[-1])          # sync (scalar transfer)
             done += chunk
             if t_after_first is None:

@@ -179,27 +179,16 @@ def _hybrid_metapath_graphs(hg, n: int, metapaths,
     return graphs, perm
 
 
-def load_acm_han(path: str | None = None, seed: int = 0,
-                 layout: str = "coo", n_papers: int = 600,
-                 min_edges_per_tile: int = 64) -> HeteroNodeData:
-    """HAN input: PAP + PLP metapath graphs over papers
-    (HAN/utils/data_utils.py:85-89).
 
-    ``layout="hybrid"`` builds each metapath adjacency as a
-    locality-clustered HybridGraph (dense MXU tiles + COO remainder);
-    features/labels are permuted to the clustered order and the split
-    indices mapped through the inverse, so accuracies are unchanged.
-    ``n_papers`` scales the synthetic stand-in (ignored for real .mat)."""
-    if path is not None and os.path.exists(path):
-        hg, feats, labels = _load_acm_mat(path)
-    else:
-        hg, feats, labels = synthetic_acm(
-            seed=seed, n_papers=n_papers, n_authors=n_papers // 2,
-            n_subjects=max(20, n_papers // 30))
-
+def _assemble_han_data(hg, feats, labels, seed: int, layout: str,
+                       min_edges_per_tile: int) -> HeteroNodeData:
+    """Shared tail of the HAN loaders: float-mask split
+    (HAN/utils/data_utils.py:62-69), row-normalised features, and the
+    layout branch (COO metapath graphs, or clustered HybridGraphs with
+    features/labels permuted and split indices remapped)."""
     n = feats.shape[0]
     rng = np.random.default_rng(seed)
-    u = rng.random(n)   # float-mask split (HAN/utils/data_utils.py:62-69)
+    u = rng.random(n)
     train = np.flatnonzero(u <= 0.2).astype(np.int32)
     val = np.flatnonzero((u > 0.2) & (u <= 0.3)).astype(np.int32)
     test = np.flatnonzero(u > 0.3).astype(np.int32)
@@ -227,6 +216,27 @@ def load_acm_han(path: str | None = None, seed: int = 0,
         test_idx=jnp.asarray(test),
         num_classes=int(labels.max()) + 1,
     )
+
+
+def load_acm_han(path: str | None = None, seed: int = 0,
+                 layout: str = "coo", n_papers: int = 600,
+                 min_edges_per_tile: int = 64) -> HeteroNodeData:
+    """HAN input: PAP + PLP metapath graphs over papers
+    (HAN/utils/data_utils.py:85-89).
+
+    ``layout="hybrid"`` builds each metapath adjacency as a
+    locality-clustered HybridGraph (dense MXU tiles + COO remainder);
+    features/labels are permuted to the clustered order and the split
+    indices mapped through the inverse, so accuracies are unchanged.
+    ``n_papers`` scales the synthetic stand-in (ignored for real .mat)."""
+    if path is not None and os.path.exists(path):
+        hg, feats, labels = _load_acm_mat(path)
+    else:
+        hg, feats, labels = synthetic_acm(
+            seed=seed, n_papers=n_papers, n_authors=n_papers // 2,
+            n_subjects=max(20, n_papers // 30))
+    return _assemble_han_data(hg, feats, labels, seed, layout,
+                              min_edges_per_tile)
 
 
 def _load_gtn_pickle(path: str, seed: int, per_class_train: int,
@@ -350,36 +360,8 @@ def load_imdb_han(path: str | None = None, seed: int = 0,
         hg, feats, labels = synthetic_acm(
             n_papers=900, n_authors=500, n_subjects=60, n_feats=128,
             n_classes=3, seed=seed)
-    n = feats.shape[0]
-    rng = np.random.default_rng(seed)
-    u = rng.random(n)
-    train = np.flatnonzero(u <= 0.2).astype(np.int32)
-    val = np.flatnonzero((u > 0.2) & (u <= 0.3)).astype(np.int32)
-    test = np.flatnonzero(u > 0.3).astype(np.int32)
-    feats = row_normalize_features(feats)
-
-    if layout == "hybrid":
-        from ..core.reorder import invert_permutation
-        graphs, perm = _hybrid_metapath_graphs(
-            hg, n, _ACM_METAPATHS, min_edges_per_tile)
-        inv = invert_permutation(perm)
-        feats, labels = feats[perm], labels[perm]
-        train, val, test = (inv[train].astype(np.int32),
-                            inv[val].astype(np.int32),
-                            inv[test].astype(np.int32))
-    else:
-        assert layout == "coo", layout
-        graphs = [hg.metapath_graph(list(k)) for k in _ACM_METAPATHS]
-
-    return HeteroNodeData(
-        graphs=graphs,
-        features=jnp.asarray(feats),
-        labels=jnp.asarray(labels),
-        train_idx=jnp.asarray(train),
-        val_idx=jnp.asarray(val),
-        test_idx=jnp.asarray(test),
-        num_classes=int(labels.max()) + 1,
-    )
+    return _assemble_han_data(hg, feats, labels, seed, layout,
+                              min_edges_per_tile)
 
 
 def load_imdb_gtn(path: str | None = None, seed: int = 0) -> StackedAdjData:

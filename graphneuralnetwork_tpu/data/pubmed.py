@@ -91,3 +91,51 @@ def load_pubmed(root: str | None = None, seed: int = 0,
         senders=s2, receivers=r2,
         train_idx=idx[:k1], val_idx=idx[k1:k2], test_idx=idx[k2:],
         num_classes=int(labels.max()) + 1)
+
+
+def load_pubmed_fullbatch(root: str | None = None, seed: int = 0,
+                          layout: str = "hybrid",
+                          min_edges_per_tile: int = 64):
+    """Full-batch form of the Pubmed data for SAGEConv-style models:
+    symmetrised graph in the requested layout with row-normalised
+    features (the sampled mini-batch pipeline keeps ``load_pubmed``).
+
+    ``layout="hybrid"`` locality-clusters the nodes and returns a
+    HybridGraph with features/labels permuted and split indices remapped
+    (same convention as ``load_cora(layout="hybrid")``)."""
+    import jax.numpy as jnp
+
+    from ..core.bcsr import build_hybrid
+    from ..core.graph import (build_graph, row_normalize_features,
+                              symmetrize)
+    from ..core.reorder import (invert_permutation, locality_order,
+                                relabel_edges)
+    from .planetoid import NodeClassificationData
+
+    sd = load_pubmed(root=root, seed=seed)
+    n = sd.features.shape[0]
+    s, r = symmetrize(sd.senders, sd.receivers)
+    feats = sd.features
+    labels = sd.labels
+    train, val, test = sd.train_idx, sd.val_idx, sd.test_idx
+    if layout == "hybrid":
+        perm = locality_order(s, r, n)
+        inv = invert_permutation(perm)
+        s, r = relabel_edges(perm, s, r)
+        feats, labels = feats[perm], labels[perm]
+        train, val, test = inv[train], inv[val], inv[test]
+        graph = build_hybrid(s, r, n,
+                             min_edges_per_tile=min_edges_per_tile,
+                             symmetric=True)
+    else:
+        assert layout == "coo", layout
+        graph = build_graph(s, r, n)
+    return NodeClassificationData(
+        graph=graph,
+        features=jnp.asarray(row_normalize_features(feats)),
+        labels=jnp.asarray(labels),
+        train_idx=jnp.asarray(train.astype(np.int32)),
+        val_idx=jnp.asarray(val.astype(np.int32)),
+        test_idx=jnp.asarray(test.astype(np.int32)),
+        num_classes=sd.num_classes,
+        raw_senders=s, raw_receivers=r)

@@ -126,10 +126,19 @@ def build_gtn_plan(adjs: List[Tuple[np.ndarray, np.ndarray, np.ndarray]],
              != 0).astype(np.float32).tocsr()
     eye = sp.identity(n, np.float32, format="csr")
 
-    def diag_slots(rows, cols):
+    def diag_slots(rows, cols, *, require_full=False):
         d = np.full(n, -1, np.int64)
         on = rows == cols
         d[rows[on]] = np.flatnonzero(on)
+        if require_full and (d < 0).any():
+            # the dense GTN normalises with D^-1(H + I) unconditionally;
+            # without full diagonal support in the pattern the sparse
+            # model would silently diverge from it, so refuse instead
+            raise ValueError(
+                "metapath composition pattern is missing diagonal "
+                "entries — include the identity slice in the adjacency "
+                "stack (GTN/utils/data_utils.py:148 appends it) so "
+                "D^-1(H+I) normalisation matches the dense GTN")
         return d.astype(np.int32)
 
     # P0 = union pattern (the mixtures Q live on it)
@@ -153,7 +162,11 @@ def build_gtn_plan(adjs: List[Tuple[np.ndarray, np.ndarray, np.ndarray]],
         nxt_rows, nxt_cols, nxt_keys = _sorted_keys(nxt, n)
 
         step_row.append(cur_rows.astype(np.int32))
-        step_diag.append(diag_slots(cur_rows, cur_cols))
+        # s=0 composes raw Q1@Q2 (no +I), so only later steps need the
+        # full diagonal; P_s ⊇ I holds whenever the identity type is in
+        # the stack (P_s = ... @ union ⊇ union ⊇ I)
+        step_diag.append(diag_slots(cur_rows, cur_cols,
+                                    require_full=(s > 0)))
 
         slot_csr = sp.csr_matrix(
             (np.arange(len(cur_rows), dtype=np.float64) + 1.0,

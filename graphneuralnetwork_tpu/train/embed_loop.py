@@ -116,9 +116,13 @@ def train_skipgram(
     history = []
     t0 = time.perf_counter()
 
+    if device_loop and len(centers) < batch_size:
+        # fewer pairs than one batch: the reshape below would fail and
+        # the host path handles the tiny-corpus case gracefully
+        device_loop = False
     if device_loop:
         n = len(centers)
-        nb = max(n // batch_size, 1)
+        nb = n // batch_size
         # arrays are jit ARGUMENTS: closing over them embeds the whole
         # corpus as HLO constants and the remote compile endpoint
         # rejects the request (HTTP 413) for large corpora (struc2vec)

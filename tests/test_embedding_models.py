@@ -279,3 +279,25 @@ def test_sdne_device_loop_matches_host_quality():
     rel = abs(hist_d[-1][1] - hist_h[-1][1]) / max(abs(hist_h[-1][1]),
                                                    1e-9)
     assert rel < 0.3, (hist_d[-1], hist_h[-1])
+
+
+def test_skipgram_device_loop_tiny_corpus_falls_back():
+    """Regression: a corpus smaller than batch_size must not crash the
+    device loop (it reshaped n < batch_size rows into (1, batch_size))."""
+    import optax
+
+    from graphneuralnetwork_tpu.nn.embed import SkipGram
+    from graphneuralnetwork_tpu.sampling.skipgram import skipgram_dataset
+    from graphneuralnetwork_tpu.train.embed_loop import train_skipgram
+
+    rng = np.random.default_rng(0)
+    n = 10
+    walks = np.stack([(np.arange(4) + s) % n for s in range(n)])
+    arrays = skipgram_dataset(walks, n, window=2, num_negatives=2,
+                              rng=rng, subsample_t=None)
+    assert len(arrays[0]) < 256
+    model = SkipGram(vocab_size=n, embed_dim=8)
+    params, hist = train_skipgram(
+        model, arrays, epochs=2, batch_size=256,
+        optimizer=optax.adam(1e-2), seed=0, device_loop=True)
+    assert len(hist) == 2

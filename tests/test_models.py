@@ -221,3 +221,21 @@ def test_sparse_gtn_matches_dense_gtn():
                     jax.tree_util.tree_leaves(gd)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=3e-3, rtol=3e-3)
+
+
+def test_sparse_gtn_plan_requires_identity_slice():
+    """Without the identity edge type the D^-1(H+I) normalisation cannot
+    match the dense GTN — the plan build must refuse, not silently
+    diverge."""
+    from graphneuralnetwork_tpu.nn.gtn_sparse import build_gtn_plan
+
+    rng = np.random.default_rng(0)
+    n = 40
+    adjs = []
+    for t in range(2):
+        s = rng.integers(0, n, 100)
+        r = rng.integers(0, n, 100)
+        keep = s != r                      # no self loops anywhere
+        adjs.append((s[keep], r[keep], np.ones(keep.sum(), np.float32)))
+    with pytest.raises(ValueError, match="identity"):
+        build_gtn_plan(adjs, n, num_layers=2)
