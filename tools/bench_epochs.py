@@ -176,23 +176,52 @@ def main(argv=None):
         import numpy as np
 
         from graphneuralnetwork_tpu.core.graph import (
-            gcn_graph, row_normalize_features)
+            add_self_loops, gcn_graph, gcn_graph_hybrid,
+            row_normalize_features, symmetrize)
         feats, labels, s, r = synthetic_citation_graph(
             n_nodes=65536, n_feats=128, n_classes=16, avg_degree=8, seed=0)
-        big = NodeClassificationData(
-            graph=gcn_graph(s, r, feats.shape[0]),
-            features=jnp.asarray(row_normalize_features(feats)),
-            labels=jnp.asarray(labels),
-            train_idx=jnp.arange(0, 4096, dtype=jnp.int32),
-            val_idx=jnp.arange(4096, 8192, dtype=jnp.int32),
-            test_idx=jnp.arange(8192, 16384, dtype=jnp.int32),
-            num_classes=16)
+        n = feats.shape[0]
+        feats_n = row_normalize_features(feats)
+
+        def big_data(layout, model_name):
+            if layout == "coo":
+                graph = gcn_graph(s, r, n)
+                fx, lb = feats_n, labels
+                tr = np.arange(0, 4096, dtype=np.int32)
+                va = np.arange(4096, 8192, dtype=np.int32)
+                te = np.arange(8192, 16384, dtype=np.int32)
+            else:
+                from graphneuralnetwork_tpu.core.bcsr import build_hybrid
+                from graphneuralnetwork_tpu.core.reorder import (
+                    invert_permutation)
+                graph, perm = gcn_graph_hybrid(s, r, n)
+                inv = invert_permutation(perm)
+                if model_name == "gat":
+                    # attention wants unit tile weights, not sym-norm
+                    s2, r2 = symmetrize(inv[s].astype(np.int64),
+                                        inv[r].astype(np.int64))
+                    s2, r2 = add_self_loops(s2, r2, n)
+                    graph = build_hybrid(s2, r2, n, symmetric=True)
+                fx, lb = feats_n[perm], labels[perm]
+                tr = inv[np.arange(0, 4096)].astype(np.int32)
+                va = inv[np.arange(4096, 8192)].astype(np.int32)
+                te = inv[np.arange(8192, 16384)].astype(np.int32)
+            return NodeClassificationData(
+                graph=graph, features=jnp.asarray(fx),
+                labels=jnp.asarray(lb), train_idx=jnp.asarray(tr),
+                val_idx=jnp.asarray(va), test_idx=jnp.asarray(te),
+                num_classes=16)
+
         for m in [x for x in models if x in ("gcn", "gat")]:
-            results[f"{m}_65k_epochs_per_s"] = round(
-                bench_scanned(m, big, max(args.epochs // 4, 20),
-                              args.dtype), 2)
-            print(json.dumps(
-                {m + "_65k": results[f'{m}_65k_epochs_per_s']}), flush=True)
+            for layout in ("coo", "hybrid"):
+                tag = f"{m}_65k" + ("_hybrid" if layout == "hybrid"
+                                    else "")
+                results[f"{tag}_epochs_per_s"] = round(
+                    bench_scanned(m, big_data(layout, m),
+                                  max(args.epochs // 4, 20),
+                                  args.dtype), 2)
+                print(json.dumps(
+                    {tag: results[f'{tag}_epochs_per_s']}), flush=True)
 
     print(json.dumps({
         "metric": "train_epochs_per_s",
