@@ -229,23 +229,65 @@ def train_gatne(data: Optional[MultiplexData] = None,
         return optax.apply_updates(all_params, updates), opt_state, loss
 
     history = []
+    bs = cfg.batch_size
+    nb_dev = len(centers) // bs
+    device_loop = jax.default_backend() != "cpu" and nb_dev > 0
+
+    if device_loop:
+        # One dispatch per epoch: the host pre-draws the WHOLE epoch's
+        # shuffled pairs + negatives (the same vectorised sampler the
+        # per-batch loop used — identical sampling semantics), then a
+        # lax.scan steps every batch on device. The streamed loop paid
+        # ~30 ms tunnel latency per batch. Batch arrays and the neighbor
+        # table are jit ARGUMENTS (closure constants trip the remote
+        # compiler's request limit).
+        @jax.jit
+        def epoch_fn(all_params, opt_state, cb, ctxb, tyb, negb, ntab):
+            def body(carry, batch):
+                p, o = carry
+                c, ctx, ty, negs = batch
+                p, o, loss = step(p, o, c, ctx, ty, negs, ntab[c])
+                return (p, o), loss
+
+            (all_params, opt_state), losses = jax.lax.scan(
+                body, (all_params, opt_state), (cb, ctxb, tyb, negb))
+            return all_params, opt_state, losses.mean()
+
     for epoch in range(1, cfg.epochs + 1):
-        tot, nb = 0.0, 0
-        for c, ctx, ty in minibatches(
-                (centers, contexts, types), cfg.batch_size, rng):
+        if device_loop:
+            perm = rng.permutation(len(centers))[: nb_dev * bs]
             negs = neg_sampler.draw(
-                (len(c), cfg.num_negatives), rng, exclude=ctx[:, None])
-            all_params, opt_state, loss = step(
-                all_params, opt_state, jnp.asarray(c), jnp.asarray(ctx),
-                jnp.asarray(ty), jnp.asarray(negs.astype(np.int32)),
-                neighbors_j[c])
-            tot += float(loss)
-            nb += 1
+                (len(perm), cfg.num_negatives), rng,
+                exclude=contexts[perm][:, None]).astype(np.int32)
+            all_params, opt_state, mean_loss = epoch_fn(
+                all_params, opt_state,
+                jnp.asarray(centers[perm].reshape(nb_dev, bs)),
+                jnp.asarray(contexts[perm].reshape(nb_dev, bs)),
+                jnp.asarray(types[perm].reshape(nb_dev, bs)),
+                jnp.asarray(negs.reshape(nb_dev, bs,
+                                         cfg.num_negatives)),
+                neighbors_j)
+            mean_loss = float(mean_loss)
+        else:
+            tot, nb = 0.0, 0
+            for c, ctx, ty in minibatches(
+                    (centers, contexts, types), cfg.batch_size, rng):
+                negs = neg_sampler.draw(
+                    (len(c), cfg.num_negatives), rng,
+                    exclude=ctx[:, None])
+                all_params, opt_state, loss = step(
+                    all_params, opt_state, jnp.asarray(c),
+                    jnp.asarray(ctx), jnp.asarray(ty),
+                    jnp.asarray(negs.astype(np.int32)),
+                    neighbors_j[c])
+                tot += float(loss)
+                nb += 1
+            mean_loss = tot / max(nb, 1)
         metrics = evaluate_gatne(model, all_params["model"], data,
                                  neighbors_j, features, split="valid")
-        history.append((epoch, tot / max(nb, 1), metrics))
+        history.append((epoch, mean_loss, metrics))
         if verbose:
-            print(f"epoch {epoch}: loss {tot/max(nb,1):.4f} "
+            print(f"epoch {epoch}: loss {mean_loss:.4f} "
                   f"val {metrics}")
     test_metrics = evaluate_gatne(model, all_params["model"], data,
                                   neighbors_j, features, split="test")

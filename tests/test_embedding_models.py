@@ -301,3 +301,25 @@ def test_skipgram_device_loop_tiny_corpus_falls_back():
         model, arrays, epochs=2, batch_size=256,
         optimizer=optax.adam(1e-2), seed=0, device_loop=True)
     assert len(hist) == 2
+
+
+def test_gatne_device_epoch_loop_matches_host_quality():
+    """GATNE's scanned epoch loop (auto-enabled on accelerators) trains
+    to the same quality as the streamed host loop."""
+    import jax
+
+    from graphneuralnetwork_tpu.models import GATNEConfig, train_gatne
+
+    cfg = GATNEConfig(epochs=2, embed_dim=16, edge_embed_dim=4,
+                      attn_dim=4, batch_size=64, seed=0)
+    _, hist_h, m_h = train_gatne(cfg=cfg)
+    orig = jax.default_backend
+    try:
+        jax.default_backend = lambda: "tpu"
+        _, hist_d, m_d = train_gatne(cfg=cfg)
+    finally:
+        jax.default_backend = orig
+    assert hist_h[-1][1] < hist_h[0][1] + 0.1
+    assert hist_d[-1][1] < hist_d[0][1] + 0.1
+    assert abs(hist_d[-1][1] - hist_h[-1][1]) < 0.5, (
+        hist_d[-1][1], hist_h[-1][1])
