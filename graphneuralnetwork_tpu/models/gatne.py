@@ -353,34 +353,78 @@ def _train_gatne_masked_bce(data: MultiplexData, cfg: GATNEConfig,
         updates, opt_state = tx.update(grads, opt_state, all_params)
         return optax.apply_updates(all_params, updates), opt_state, loss
 
+    def draw_negs(c, ctx):
+        # num_negatives per VALID context (the reference's dataset
+        # builder draws len(context)*num_negatives per center,
+        # utils/data_utils.py:104-151); excess slots pad to -1 and
+        # batchify masks them out.
+        negs = neg_sampler.draw((len(c), K), rng).astype(np.int64)
+        n_ctx = (ctx >= 0).sum(1)
+        slot = np.arange(K)[None, :]
+        return np.where(
+            slot < (n_ctx * cfg.num_negatives)[:, None], negs, -1)
+
     history = []
     K = cfg.num_negatives * contexts.shape[1]
+    bs = cfg.batch_size
+    nb_dev = len(centers) // bs
+    device_loop = jax.default_backend() != "cpu" and nb_dev > 0
+
+    if device_loop:
+        # one lax.scan dispatch per epoch; whole-epoch arrays prebuilt on
+        # host (batchify is row-independent, so epoch-wide == per-batch)
+        # and passed as jit arguments (closure constants trip the remote
+        # compiler's request limit)
+        @jax.jit
+        def epoch_fn(all_params, opt_state, cb, tyb, cnb, lbb, mkb,
+                     ntab):
+            def body(carry, batch):
+                p, o = carry
+                c, ty, cn, lb, mk = batch
+                p, o, loss = step(p, o, c, ty, cn, lb, mk, ntab[c])
+                return (p, o), loss
+
+            (all_params, opt_state), losses = jax.lax.scan(
+                body, (all_params, opt_state), (cb, tyb, cnb, lbb, mkb))
+            return all_params, opt_state, losses.mean()
+
     for epoch in range(1, cfg.epochs + 1):
-        tot, nb = 0.0, 0
-        for c, ty, ctx in minibatches(
-                (centers, types, contexts), cfg.batch_size, rng):
-            # num_negatives per VALID context (the reference's dataset
-            # builder draws len(context)*num_negatives per center,
-            # utils/data_utils.py:104-151); excess slots pad to -1 and
-            # batchify masks them out.
-            negs = neg_sampler.draw((len(c), K), rng).astype(np.int64)
-            n_ctx = (ctx >= 0).sum(1)
-            slot = np.arange(K)[None, :]
-            negs = np.where(
-                slot < (n_ctx * cfg.num_negatives)[:, None], negs, -1)
-            cc, ctx_neg, labels, mask = batchify(c, ctx, negs)
-            all_params, opt_state, loss = step(
-                all_params, opt_state, jnp.asarray(cc, jnp.int32),
-                jnp.asarray(ty), jnp.asarray(ctx_neg.astype(np.int32)),
-                jnp.asarray(labels), jnp.asarray(mask),
-                neighbors_j[cc])
-            tot += float(loss)
-            nb += 1
+        if device_loop:
+            perm = rng.permutation(len(centers))[: nb_dev * bs]
+            c, ty, ctx = centers[perm], types[perm], contexts[perm]
+            cc, ctx_neg, labels, mask = batchify(c, ctx,
+                                                 draw_negs(c, ctx))
+            L = ctx_neg.shape[1]
+            all_params, opt_state, mean_loss = epoch_fn(
+                all_params, opt_state,
+                jnp.asarray(cc.reshape(nb_dev, bs).astype(np.int32)),
+                jnp.asarray(ty.reshape(nb_dev, bs)),
+                jnp.asarray(ctx_neg.reshape(nb_dev, bs, L)
+                            .astype(np.int32)),
+                jnp.asarray(labels.reshape(nb_dev, bs, L)),
+                jnp.asarray(mask.reshape(nb_dev, bs, L)),
+                neighbors_j)
+            mean_loss = float(mean_loss)
+        else:
+            tot, nb = 0.0, 0
+            for c, ty, ctx in minibatches(
+                    (centers, types, contexts), cfg.batch_size, rng):
+                cc, ctx_neg, labels, mask = batchify(c, ctx,
+                                                     draw_negs(c, ctx))
+                all_params, opt_state, loss = step(
+                    all_params, opt_state, jnp.asarray(cc, jnp.int32),
+                    jnp.asarray(ty),
+                    jnp.asarray(ctx_neg.astype(np.int32)),
+                    jnp.asarray(labels), jnp.asarray(mask),
+                    neighbors_j[cc])
+                tot += float(loss)
+                nb += 1
+            mean_loss = tot / max(nb, 1)
         metrics = evaluate_gatne(model, all_params["model"], data,
                                  neighbors_j, features, split="valid")
-        history.append((epoch, tot / max(nb, 1), metrics))
+        history.append((epoch, mean_loss, metrics))
         if verbose:
-            print(f"epoch {epoch}: loss {tot/max(nb,1):.4f} "
+            print(f"epoch {epoch}: loss {mean_loss:.4f} "
                   f"val {metrics}")
     test_metrics = evaluate_gatne(model, all_params["model"], data,
                                   neighbors_j, features, split="test")

@@ -323,3 +323,22 @@ def test_gatne_device_epoch_loop_matches_host_quality():
     assert hist_d[-1][1] < hist_d[0][1] + 0.1
     assert abs(hist_d[-1][1] - hist_h[-1][1]) < 0.5, (
         hist_d[-1][1], hist_h[-1][1])
+
+
+def test_gatne_v2_device_epoch_loop_matches_host_quality():
+    import jax
+
+    from graphneuralnetwork_tpu.models import GATNEConfig, train_gatne
+
+    cfg = GATNEConfig(epochs=2, embed_dim=16, edge_embed_dim=4,
+                      attn_dim=4, batch_size=64, seed=0,
+                      loss="masked_bce")
+    _, hist_h, _ = train_gatne(cfg=cfg)
+    orig = jax.default_backend
+    try:
+        jax.default_backend = lambda: "tpu"
+        _, hist_d, _ = train_gatne(cfg=cfg)
+    finally:
+        jax.default_backend = orig
+    assert abs(hist_d[-1][1] - hist_h[-1][1]) < 0.5, (
+        hist_d[-1][1], hist_h[-1][1])
