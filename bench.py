@@ -60,7 +60,9 @@ HEADLINE_ORDER = [
 SECTIONS = [
     # (name, stall_allowance_s once the worker is warm) — headline-first.
     ("clustered_bf16", 240),
+    ("gat_attend", 300),
     ("quick", 120),
+    ("epochs_quick", 180),
     ("spmm_bf16", 150),
     ("sddmm", 120),
     ("clustered_f32", 120),
@@ -172,6 +174,36 @@ def _clustered_setup(n, e, comm):
     return _GRAPH_CACHE[key]
 
 
+# ---------------------------------------------------------------------------
+# achieved-bandwidth accounting (VERDICT r4 #2): every section models the
+# bytes its fast path moves through HBM and reports bytes/time as "gbps",
+# to be read against the chip's own measured ceilings (PERF_NOTES):
+# Pallas per-stream DMA ~160-300 GB/s, XLA streaming ~620 GB/s, random
+# row-gather ~140 GB/s. Models count each materialised buffer once per
+# read/write of its dominant streams (index/weight side arrays ≤2% are
+# dropped); they are traffic models, not measurements.
+# ---------------------------------------------------------------------------
+
+
+def _coo_spmm_bytes(e_pad, n_pad, f, b):
+    """gather random-read E·F·b + write gathered E·F·b + kernel read
+    E·F·b + out write N·F·4 (f32 accumulators) + cast back N·F·b."""
+    return 3 * e_pad * f * b + n_pad * f * (4 + b)
+
+
+def _hybrid_spmm_bytes(hg, f, b):
+    """tiles T·RB·CB·4 + x-blocks T·CB·F·b + tile-out N·F·4, plus the COO
+    remainder (same model as _coo_spmm_bytes) and the final add."""
+    from graphneuralnetwork_tpu.core.bcsr import COL_BLOCK, ROW_BLOCK
+
+    t = hg.bcsr.tiles.shape[0]
+    n_pad = hg.bcsr.n_node_pad
+    tile = t * (ROW_BLOCK * COL_BLOCK * 4 + COL_BLOCK * f * b) \
+        + n_pad * f * 4
+    rem = _coo_spmm_bytes(hg.rem.n_edge_pad, n_pad, f, b)
+    return tile + rem + 2 * n_pad * f * b   # + elementwise add
+
+
 def _bench_spmm(n=131072, e=2_097_152, f=128, iters=4, dtype="float32"):
     import jax.numpy as jnp
 
@@ -190,7 +222,10 @@ def _bench_spmm(n=131072, e=2_097_152, f=128, iters=4, dtype="float32"):
     set_ops_impl("xla")
     t_xla = _timed_chain(lambda x: spmm(gr, x), x0, iters)
     set_ops_impl("auto")
-    return e / t_main, t_xla / t_main
+    b = 2 if dtype == "bfloat16" else 4
+    gbps = _coo_spmm_bytes(gr.n_edge_pad, gr.n_node_pad, f, b) \
+        / t_main / 1e9
+    return e / t_main, t_xla / t_main, gbps
 
 
 def _bench_sddmm(n=131072, e=2_097_152, f=128, iters=4):
@@ -240,7 +275,10 @@ def _bench_sddmm(n=131072, e=2_097_152, f=128, iters=4):
 
     t_ours = timed(ours)
     t_ref = timed(reference_style)
-    return e / t_ours, t_ref / t_ours
+    # bytes: two [N,2]-packed row gathers (16 B/edge) + logit write/read
+    # + the two x@a projections streaming x twice
+    gbps = (e * (16 + 8) + 2 * n * f * 4) / t_ours / 1e9
+    return e / t_ours, t_ref / t_ours, gbps
 
 
 def _bench_spmm_clustered(n=131072, e=2_097_152, f=128, comm=256,
@@ -264,7 +302,151 @@ def _bench_spmm_clustered(n=131072, e=2_097_152, f=128, comm=256,
     set_ops_impl("xla")
     t_xla = _timed_chain(lambda x: spmm(gr, x), x0, iters)
     set_ops_impl("auto")
-    return e_real / t_hyb, t_xla / t_hyb
+    b = 2 if dtype == "bfloat16" else 4
+    gbps = _hybrid_spmm_bytes(hg, f, b) / t_hyb / 1e9
+    return e_real / t_hyb, t_xla / t_hyb, gbps
+
+
+def _bench_gat_attend(n=131072, e=2_097_152, f=128, heads=8, comm=256,
+                      iters=3):
+    """The flagship attention result (VERDICT r4 #1): tiled GAT softmax
+    aggregation (ops/bcsr_attention.py) vs the COO edge_softmax +
+    spmm_weighted path that replaces GAT/models/layers.py:105-122, at
+    the 2M-edge clustered shape, bf16, H=8, F=128 — forward AND full
+    train step (fwd+bwd w.r.t. x, f_src, f_dst)."""
+    import jax
+    import jax.numpy as jnp
+
+    import graphneuralnetwork_tpu as g
+    from graphneuralnetwork_tpu.core.bcsr import build_hybrid
+    from graphneuralnetwork_tpu.core.reorder import relabel_edges
+    from graphneuralnetwork_tpu.ops import edge_softmax
+    from graphneuralnetwork_tpu.ops.bcsr_attention import gat_tiled_attend
+    from graphneuralnetwork_tpu.ops.spmm import spmm_weighted
+
+    s, r = _clustered_graph(n, e, comm)
+    e_real = len(s)
+    perm = _memo_locality_order(s, r, n)
+    s2, r2 = relabel_edges(perm, s, r)
+    hg = build_hybrid(s2, r2, n)          # unit weights — GAT semantics
+    gr = g.build_graph(s2, r2, n)
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(n, heads, f)).astype(np.float32),
+                    jnp.bfloat16)
+    fs = jnp.asarray(rng.normal(size=(n, heads)).astype(np.float32))
+    fd = jnp.asarray(rng.normal(size=(n, heads)).astype(np.float32))
+
+    def coo_fwd(xx, a, b):
+        sc = a[gr.senders] + b[gr.receivers]
+        sc = jnp.where(sc > 0, sc, 0.2 * sc)
+        al = edge_softmax(gr, sc)
+        return spmm_weighted(gr, al.astype(xx.dtype), xx)
+
+    def tiled_fwd(xx, a, b):
+        return gat_tiled_attend(hg, xx, a, b)
+
+    def timed(fn, grad):
+        if grad:
+            gfn = jax.grad(
+                lambda xx, a, b: jnp.sum(
+                    fn(xx, a, b).astype(jnp.float32) * 1e-3),
+                argnums=(0, 1, 2))
+
+            def step(carry, _):
+                xx, a, b = carry
+                dx, da, db = gfn(xx, a, b)
+                return (xx * 0.5 + dx.astype(xx.dtype) * 1e-3,
+                        a + da * 1e-6, b + db * 1e-6), None
+        else:
+            def step(carry, _):
+                xx, a, b = carry
+                out = fn(xx, a, b)
+                return (xx * 0.5 + out * 1e-3,
+                        a + out[:, :, 0].astype(a.dtype) * 1e-6, b), None
+
+        @jax.jit
+        def chain(xx, a, b):
+            (xx, a, b), _ = jax.lax.scan(step, (xx, a, b), None,
+                                         length=iters)
+            return xx.ravel()[0].astype(jnp.float32)   # scalar sync
+
+        _ = np.asarray(chain(x, fs, fd))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _ = np.asarray(chain(x, fs, fd))
+            best = min(best, (time.perf_counter() - t0) / iters)
+        return best
+
+    t_tile_f = timed(tiled_fwd, grad=False)
+    t_coo_f = timed(coo_fwd, grad=False)
+    t_tile_g = timed(tiled_fwd, grad=True)
+    t_coo_g = timed(coo_fwd, grad=True)
+
+    # coarse fwd traffic model: tiles read twice (nmax + attend) +
+    # x-blocks once + remainder gather×3 + [N, H·F] out + partials
+    from graphneuralnetwork_tpu.core.bcsr import COL_BLOCK, ROW_BLOCK
+    t_tiles = hg.bcsr.tiles.shape[0]
+    n_pad = hg.bcsr.n_node_pad
+    hf = heads * f
+    fwd_bytes = (2 * t_tiles * ROW_BLOCK * COL_BLOCK * 4
+                 + t_tiles * COL_BLOCK * hf * 2
+                 + 3 * hg.rem.n_edge_pad * hf * 2
+                 + 2 * n_pad * hf * 4)
+    return dict(e_real=e_real, fwd_ms=t_tile_f * 1e3,
+                fwd_speedup=t_coo_f / t_tile_f,
+                train_eps=e_real / t_tile_g,
+                train_speedup=t_coo_g / t_tile_g,
+                train_ms=t_tile_g * 1e3,
+                gbps=fwd_bytes / t_tile_f / 1e9)
+
+
+def _bench_epochs_quick(epochs=300):
+    """Driver-witnessed epochs/s anchor (VERDICT r4 #6): the scanned
+    full-batch GCN at the Cora shape, bf16 (BASELINE.md north star;
+    replaces the per-epoch Python loop of GCN/train_eval.py:20-67).
+    vs_baseline = the same scanned run on the XLA ops impl (the kernel
+    stack is shape-neutral at Cora scale; the number anchors epochs/s)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from graphneuralnetwork_tpu.data import load_cora
+    from graphneuralnetwork_tpu.nn import GCN
+    from graphneuralnetwork_tpu.ops import set_ops_impl
+    from graphneuralnetwork_tpu.train.loop import create_train_state
+    from graphneuralnetwork_tpu.train.scan_loop import (
+        make_scanned_node_classification_run)
+
+    data = load_cora(seed=0)
+    model = GCN(hidden=128, num_classes=data.num_classes, dropout=0.5,
+                dtype=jnp.bfloat16)
+    tx = optax.adamw(2e-3, weight_decay=5e-4)
+    state = create_train_state(model, data.graph, data.features,
+                               jax.random.PRNGKey(0), tx)
+    run = make_scanned_node_classification_run(model, epochs)
+
+    def timed():
+        _, ms = run(state, data.graph, data.features, data.labels,
+                    data.train_idx, data.val_idx)
+        _ = np.asarray(ms["loss"][-1])       # warm/compile
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _, ms = run(state, data.graph, data.features, data.labels,
+                        data.train_idx, data.val_idx)
+            _ = np.asarray(ms["loss"][-1])
+            best = min(best, time.perf_counter() - t0)
+        return epochs / best
+
+    eps = timed()
+    set_ops_impl("xla")
+    try:
+        eps_xla = timed()
+    finally:
+        set_ops_impl("auto")
+    return eps, eps / eps_xla
 
 
 # ---------------------------------------------------------------------------
@@ -275,35 +457,50 @@ def _bench_spmm_clustered(n=131072, e=2_097_152, f=128, comm=256,
 def run_section(name: str) -> dict:
     if name == "quick":
         # Small-shape clustered bf16: cheap headline-capable fallback.
-        eps, speed = _bench_spmm_clustered(
+        eps, speed, gbps = _bench_spmm_clustered(
             n=32768, e=524_288, comm=256, iters=2, dtype="bfloat16")
         return {"metric": "spmm_clustered_bf16_edges_per_s_per_chip",
                 "value": round(eps, 1), "unit": "edges/s",
-                "vs_baseline": round(speed, 3), "note": "small-shape"}
+                "vs_baseline": round(speed, 3), "note": "small-shape",
+                "gbps": round(gbps, 1)}
     if name == "clustered_bf16":
-        eps, speed = _bench_spmm_clustered(dtype="bfloat16")
+        eps, speed, gbps = _bench_spmm_clustered(dtype="bfloat16")
         return {"metric": "spmm_clustered_bf16_edges_per_s_per_chip",
                 "value": round(eps, 1), "unit": "edges/s",
-                "vs_baseline": round(speed, 3)}
+                "vs_baseline": round(speed, 3), "gbps": round(gbps, 1)}
     if name == "clustered_f32":
-        eps, speed = _bench_spmm_clustered(dtype="float32")
+        eps, speed, gbps = _bench_spmm_clustered(dtype="float32")
         return {"metric": "spmm_clustered_f32_edges_per_s_per_chip",
                 "value": round(eps, 1), "unit": "edges/s",
-                "vs_baseline": round(speed, 3)}
+                "vs_baseline": round(speed, 3), "gbps": round(gbps, 1)}
     if name == "spmm_bf16":
-        eps, speed = _bench_spmm(dtype="bfloat16")
+        eps, speed, gbps = _bench_spmm(dtype="bfloat16")
         return {"metric": "spmm_bf16_edges_per_s_per_chip",
                 "value": round(eps, 1), "unit": "edges/s",
-                "vs_baseline": round(speed, 3)}
+                "vs_baseline": round(speed, 3), "gbps": round(gbps, 1)}
     if name == "spmm_f32":
-        eps, speed = _bench_spmm(dtype="float32")
+        eps, speed, gbps = _bench_spmm(dtype="float32")
         return {"metric": "spmm_f32_edges_per_s_per_chip",
                 "value": round(eps, 1), "unit": "edges/s",
-                "vs_baseline": round(speed, 3)}
+                "vs_baseline": round(speed, 3), "gbps": round(gbps, 1)}
     if name == "sddmm":
-        eps, speed = _bench_sddmm()
+        eps, speed, gbps = _bench_sddmm()
         return {"metric": "sddmm_edges_per_s_per_chip",
                 "value": round(eps, 1), "unit": "edges/s",
+                "vs_baseline": round(speed, 3), "gbps": round(gbps, 1)}
+    if name == "gat_attend":
+        r = _bench_gat_attend()
+        return {"metric": "gat_attend_train_edges_per_s_per_chip",
+                "value": round(r["train_eps"], 1), "unit": "edges/s",
+                "vs_baseline": round(r["train_speedup"], 3),
+                "train_ms": round(r["train_ms"], 1),
+                "fwd_ms": round(r["fwd_ms"], 1),
+                "fwd_speedup": round(r["fwd_speedup"], 3),
+                "gbps": round(r["gbps"], 1)}
+    if name == "epochs_quick":
+        eps, speed = _bench_epochs_quick()
+        return {"metric": "gcn_epochs_per_s_cora_bf16",
+                "value": round(eps, 1), "unit": "epochs/s",
                 "vs_baseline": round(speed, 3)}
     raise SystemExit(f"unknown section {name!r}")
 

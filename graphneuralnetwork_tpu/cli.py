@@ -56,23 +56,41 @@ def main(argv=None):
                          "recipe (SGD + warmup-poly schedule with the "
                          "reference lr, GAT/train_eval.py:9-33,54, "
                          "HAN/run.py:10-11, GraphSAGE_Pytorch/run.py:8-10)")
-    ap.add_argument("--layout", choices=["coo", "hybrid", "sparse"],
-                    default="coo",
+    ap.add_argument("--layout", choices=["auto", "coo", "hybrid", "sparse"],
+                    default="auto",
                     help="graph layout for gcn/gat/graphsage/han/gtn: "
+                         "'auto' (default) probes post-clustering tile "
+                         "fill and picks hybrid/COO per graph "
+                         "(core/layout.py; logs the decision). "
                          "'hybrid' = locality-clustered dense-tile BCSR "
                          "+ COO remainder (core/bcsr.py; 2.9-3.9x SpMM "
                          "on clustered graphs). graphsage + hybrid runs "
-                         "the full-batch SAGEConv path (nn/conv.py:236); "
+                         "the full-batch SAGEConv path (nn/conv.py:236) "
+                         "— a pipeline change, so auto keeps graphsage "
+                         "on the reference sampled pipeline. "
                          "han + hybrid tiles each metapath adjacency "
                          "(data/acm.py:_hybrid_metapath_graphs). "
                          "'sparse' (gtn only) = wedge-plan metapath "
                          "composition without dense [N,N] tensors "
-                         "(nn/gtn_sparse.py, O(nnz) memory)")
+                         "(nn/gtn_sparse.py, O(nnz) memory); auto keeps "
+                         "gtn dense (the ACM-scale fast path)")
     ap.add_argument("--dtype", choices=["float32", "bfloat16"],
                     default="float32",
                     help="compute dtype for gcn/gat/graphsage/han/gtn "
                          "(params stay f32; bfloat16 = native MXU rate)")
     args = ap.parse_args(argv)
+
+    # Validate the model/layout combination up front: data loaders only
+    # handle the layouts their model supports, and a bare loader assert
+    # is a worse error than a CLI message (ADVICE r4).
+    _layout_models = {"hybrid": ("gcn", "gat", "graphsage", "han"),
+                      "sparse": ("gtn",)}
+    _allowed = _layout_models.get(args.layout)
+    if _allowed is not None and args.model not in _allowed:
+        raise SystemExit(
+            f"--layout {args.layout} is not supported for --model "
+            f"{args.model} (supported models: {', '.join(_allowed)}; "
+            f"use --layout auto or coo)")
 
     # Multi-host: init the runtime (no-op single-process) and restrict
     # console logging to the primary host. Checkpoint writes are gated on
@@ -97,13 +115,16 @@ def main(argv=None):
         import jax.numpy as jnp
         cdtype = jnp.bfloat16 if args.dtype == "bfloat16" else None
 
-        layout = args.layout if name in ("gcn", "gat") else "coo"
+        layout = args.layout
         if args.dataset in ("cora", "citeseer"):   # named synthetic preset
             data = load_cora(name=args.dataset, seed=args.seed,
                              layout=layout)
         else:
             data = load_cora(root=args.dataset, seed=args.seed,
                              layout=layout)
+        # "auto" is resolved inside the loader; read the decision off the
+        # returned graph container
+        layout = "hybrid" if hasattr(data.graph, "bcsr") else "coo"
         if name == "gat" and layout == "hybrid":
             # GAT needs BINARY tile weights (attention softmax over the
             # edge set, not the sym-normalised GCN operator): rebuild the

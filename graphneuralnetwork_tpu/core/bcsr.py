@@ -218,3 +218,21 @@ def bcsr_memory_bytes(n_edges: int, senders, receivers,
     key = (r // ROW_BLOCK) * n_cb + (s // COL_BLOCK)
     t = len(np.unique(key))
     return t * ROW_BLOCK * COL_BLOCK * 4
+
+
+def tiled_edge_fraction(senders, receivers, n_nodes: int,
+                        min_edges_per_tile: int = 192) -> float:
+    """Fraction of edge mass in tiles holding >= ``min_edges_per_tile``
+    edges — the edges ``build_hybrid`` would densify. This (not raw tile
+    count) is the objective an ordering must win: an ordering can have
+    FEWER tiles yet spread edges so uniformly that none clears the
+    per-tile break-even (measured: RCM 0.077 vs LPA 0.906 at equal-ish
+    tile counts on an 8k community graph)."""
+    s = np.asarray(senders, np.int64)
+    r = np.asarray(receivers, np.int64)
+    if len(s) == 0:
+        return 0.0
+    n_cb = -(-max(n_nodes, 1) // COL_BLOCK)
+    key = (r // ROW_BLOCK) * n_cb + (s // COL_BLOCK)
+    _, inv, cnt = np.unique(key, return_inverse=True, return_counts=True)
+    return float((cnt[inv] >= min_edges_per_tile).mean())

@@ -255,6 +255,7 @@ def gcn_graph(
 
 def gcn_graph_hybrid(
     senders: np.ndarray, receivers: np.ndarray, n_nodes: int,
+    perm: Optional[np.ndarray] = None,
 ):
     """GCN adjacency on the locality/BCSR fast path: cluster-reorder the
     nodes (core/reorder.py), then densify well-filled 128×128 tiles with a
@@ -272,7 +273,8 @@ def gcn_graph_hybrid(
     s, r = symmetrize(np.asarray(senders, np.int32),
                       np.asarray(receivers, np.int32))
     s, r = add_self_loops(s, r, n_nodes)
-    perm = locality_order(s, r, n_nodes)
+    if perm is None:  # reusable from a choose_layout probe (core/layout.py)
+        perm = locality_order(s, r, n_nodes)
     s, r = relabel_edges(perm, s, r)
     w = sym_normalize_weights(s, r, n_nodes)
     return build_hybrid(s, r, n_nodes, w, symmetric=True), perm

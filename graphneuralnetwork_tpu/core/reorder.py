@@ -85,22 +85,29 @@ def locality_order(senders: np.ndarray, receivers: np.ndarray,
 
     ``auto`` evaluates RCM (bands: meshes, roads, backbones) and label-
     propagation clustering (communities: social/citation graphs) and keeps
-    whichever yields fewer tiles — both are cheap one-off host passes.
+    whichever concentrates more edge mass into dense (>= break-even)
+    tiles, tie-broken by tile-store bytes — both are cheap one-off host
+    passes. The dense-mass objective matters: raw tile count once picked
+    RCM orderings whose tiles were all just below the per-tile break-even
+    (0.077 vs 0.906 tiled fraction on an 8k community graph), starving
+    the hybrid split.
     """
     if method == "rcm":
         return rcm_order(senders, receivers, n_nodes)
     if method == "cluster":
         return cluster_order(senders, receivers, n_nodes)
     assert method == "auto", method
-    from .bcsr import bcsr_memory_bytes
+    from .bcsr import bcsr_memory_bytes, tiled_edge_fraction
 
-    best_perm, best_bytes = None, None
+    best_perm, best_key = None, None
     for cand in (rcm_order(senders, receivers, n_nodes),
                  cluster_order(senders, receivers, n_nodes)):
         s2, r2 = relabel_edges(cand, senders, receivers)
-        b = bcsr_memory_bytes(len(s2), s2, r2, n_nodes)
-        if best_bytes is None or b < best_bytes:
-            best_perm, best_bytes = cand, b
+        # maximise dense-tile mass; among equals, prefer the smaller store
+        key = (-tiled_edge_fraction(s2, r2, n_nodes),
+               bcsr_memory_bytes(len(s2), s2, r2, n_nodes))
+        if best_key is None or key < best_key:
+            best_perm, best_key = cand, key
     return best_perm
 
 

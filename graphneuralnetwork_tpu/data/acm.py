@@ -147,7 +147,7 @@ _ACM_METAPATHS = (
 
 
 def _hybrid_metapath_graphs(hg, n: int, metapaths,
-                            min_edges_per_tile: int):
+                            min_edges_per_tile: int, perm=None):
     """Compose each metapath as a binarized edge list (+ self loops),
     locality-cluster the target nodes over the UNION of metapath edges,
     and densify each metapath adjacency into a HybridGraph.
@@ -168,7 +168,8 @@ def _hybrid_metapath_graphs(hg, n: int, metapaths,
                            np.concatenate([d[keep], loops])))
     all_s = np.concatenate([e[0] for e in edge_lists])
     all_r = np.concatenate([e[1] for e in edge_lists])
-    perm = locality_order(all_s, all_r, n)
+    if perm is None:  # reusable from a choose_layout probe
+        perm = locality_order(all_s, all_r, n)
     graphs = []
     for s, d in edge_lists:
         s2, r2 = relabel_edges(perm, s, d)
@@ -194,10 +195,27 @@ def _assemble_han_data(hg, feats, labels, seed: int, layout: str,
     test = np.flatnonzero(u > 0.3).astype(np.int32)
     feats = row_normalize_features(feats)
 
+    probe_perm = None
+    if layout == "auto":
+        # probe the union of metapath edges — the same edge set
+        # _hybrid_metapath_graphs clusters over (core/layout.py)
+        from ..core.layout import choose_layout
+        loops = np.arange(n, dtype=np.int64)
+        parts_s, parts_r = [loops], [loops]
+        for keys in _ACM_METAPATHS:
+            s_m, d_m, _ = hg.compose(list(keys), binarize=True)
+            keep = s_m != d_m
+            parts_s.append(s_m[keep])
+            parts_r.append(d_m[keep])
+        layout, _, probe_perm = choose_layout(
+            np.concatenate(parts_s), np.concatenate(parts_r), n,
+            min_edges_per_tile=min_edges_per_tile, verbose=True,
+            tag="han-metapaths")
+
     if layout == "hybrid":
         from ..core.reorder import invert_permutation
         graphs, perm = _hybrid_metapath_graphs(
-            hg, n, _ACM_METAPATHS, min_edges_per_tile)
+            hg, n, _ACM_METAPATHS, min_edges_per_tile, perm=probe_perm)
         inv = invert_permutation(perm)
         feats, labels = feats[perm], labels[perm]
         train, val, test = (inv[train].astype(np.int32),

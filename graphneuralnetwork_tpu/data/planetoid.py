@@ -114,6 +114,9 @@ def load_cora(root: str | None = None, name: str = "cora",
     features/labels are permuted to match, and the split index arrays are
     mapped through the inverse — models and accuracies are unchanged,
     only the SpMM gets faster on clustered graphs.
+
+    ``layout="auto"`` probes the post-clustering tile fill and picks
+    hybrid or COO itself (core/layout.py) — the TPU-first default.
     """
     if root is not None and os.path.exists(
             os.path.join(root, f"{name}.content")):
@@ -129,10 +132,20 @@ def load_cora(root: str | None = None, name: str = "cora",
     val_idx = np.arange(200, 500, dtype=np.int32)
     test_idx = np.arange(500, 1500, dtype=np.int32)
 
+    probe_perm = None
+    if layout == "auto":
+        from ..core.graph import add_self_loops, symmetrize
+        from ..core.layout import choose_layout
+        # probe the exact edge set the hybrid build would tile
+        s_p, r_p = symmetrize(s, r)
+        s_p, r_p = add_self_loops(s_p, r_p, n)
+        layout, _, probe_perm = choose_layout(s_p, r_p, n,
+                                              verbose=True, tag=name)
+
     if layout == "hybrid":
         from ..core.graph import gcn_graph_hybrid
         from ..core.reorder import invert_permutation
-        graph, perm = gcn_graph_hybrid(s, r, n)
+        graph, perm = gcn_graph_hybrid(s, r, n, perm=probe_perm)
         inv = invert_permutation(perm)
         feats = feats[perm]
         labels = labels[perm]

@@ -102,7 +102,9 @@ def load_pubmed_fullbatch(root: str | None = None, seed: int = 0,
 
     ``layout="hybrid"`` locality-clusters the nodes and returns a
     HybridGraph with features/labels permuted and split indices remapped
-    (same convention as ``load_cora(layout="hybrid")``)."""
+    (same convention as ``load_cora(layout="hybrid")``).
+    ``layout="auto"`` probes post-clustering tile fill and picks
+    hybrid/COO itself (core/layout.py)."""
     import jax.numpy as jnp
 
     from ..core.bcsr import build_hybrid
@@ -118,8 +120,15 @@ def load_pubmed_fullbatch(root: str | None = None, seed: int = 0,
     feats = sd.features
     labels = sd.labels
     train, val, test = sd.train_idx, sd.val_idx, sd.test_idx
+    probe_perm = None
+    if layout == "auto":
+        from ..core.layout import choose_layout
+        layout, _, probe_perm = choose_layout(
+            s, r, n, min_edges_per_tile=min_edges_per_tile,
+            verbose=True, tag="pubmed")
     if layout == "hybrid":
-        perm = locality_order(s, r, n)
+        perm = probe_perm if probe_perm is not None \
+            else locality_order(s, r, n)
         inv = invert_permutation(perm)
         s, r = relabel_edges(perm, s, r)
         feats, labels = feats[perm], labels[perm]

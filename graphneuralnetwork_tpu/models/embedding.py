@@ -289,7 +289,11 @@ def run_sdne(data: Optional[EdgeListData] = None,
     if jax.default_backend() != "cpu" and nb > 0:
         # device epoch loop: A stays resident, batch row/sub-matrix
         # gathers happen on device, one lax.scan dispatch per epoch
-        # (the host loop pays ~30 ms tunnel latency per batch)
+        # (the host loop pays ~30 ms tunnel latency per batch).
+        # NOTE: this path shuffles from a PRNGKey while the host loop
+        # below shuffles from the numpy rng — same-seed runs on CPU vs
+        # TPU see different batch orders (each backend is individually
+        # deterministic; see train/embed_loop.train_skipgram docstring).
         a_dev = jnp.asarray(a)
         bs = cfg.batch_size
 

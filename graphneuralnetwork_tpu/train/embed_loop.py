@@ -95,7 +95,18 @@ def train_skipgram(
     batch, which dominates wall-clock for every embedder on TPU. Default:
     on for accelerators when the loss is scan-expressible (the plain
     skip-gram step, or a caller-supplied ``device_loss_fn(params,
-    *batch) -> (loss, acc)`` such as LINE's weighted loss).
+    *batch) -> (loss, acc)`` such as LINE's weighted loss). Passing
+    ``device_loop=True`` with a custom ``step_fn_factory`` and no
+    ``device_loss_fn`` raises: the scan body cannot express the custom
+    step, and silently substituting the default skip-gram loss would
+    train the wrong objective.
+
+    Reproducibility note: the two paths draw their epoch shuffles from
+    different RNGs — the device loop folds ``seed`` into a
+    ``jax.random.PRNGKey`` while the host loop consumes the caller's
+    numpy ``rng`` — so a CPU (host-loop) run and a TPU (device-loop) run
+    with the same seed see different batch orders. Each path is
+    individually deterministic given (seed, backend).
     """
     from ..sampling.skipgram import minibatches
 
@@ -112,6 +123,14 @@ def train_skipgram(
         device_loop = ((step_fn_factory is make_skipgram_step
                         or device_loss_fn is not None)
                        and jax.default_backend() != "cpu")
+    elif (device_loop and step_fn_factory is not make_skipgram_step
+          and device_loss_fn is None):
+        raise ValueError(
+            "device_loop=True with a custom step_fn_factory requires a "
+            "device_loss_fn — the scanned epoch cannot express the custom "
+            "step, and falling back to the default skip-gram loss would "
+            "silently train the wrong objective (use device_loop=False, "
+            "or supply device_loss_fn)")
 
     history = []
     t0 = time.perf_counter()

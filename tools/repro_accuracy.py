@@ -88,11 +88,13 @@ def _first_metric(r, key):
 
 
 def _headline(r):
-    # link-pred rows lead with F1 (their pass criterion), even when a
-    # final_loss is also reported (e.g. bine)
+    # link-pred rows print every gated quantity (F1 AND AUC — the
+    # criterion requires both, so both belong in the committed table),
+    # even when a final_loss is also reported (e.g. bine)
     tm = r.get("test_metrics", {})
     if tm:
-        return f"link-pred f1={_first_metric(r, 'f1'):.4f}"
+        return (f"link-pred f1={_first_metric(r, 'f1'):.4f}"
+                f" auc={_first_metric(r, 'auc'):.4f}")
     for k in ("test_acc", "binary_acc", "final_loss"):
         if k in r and r[k] is not None:
             return f"{k}={r[k]:.4f}"
