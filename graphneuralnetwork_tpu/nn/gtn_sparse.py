@@ -107,7 +107,7 @@ def _wedges(slot_csr, right, out_keys: np.ndarray, n: int):
 
 def build_gtn_plan(adjs: List[Tuple[np.ndarray, np.ndarray, np.ndarray]],
                    n_nodes: int, num_layers: int = 2,
-                   max_wedges: int = 50_000_000) -> GTNPlan:
+                   max_wedges: int = 250_000_000) -> GTNPlan:
     """``adjs``: per edge type (senders, receivers, weights) — the sparse
     form of the loader's [T, N, N] stack (identity slice included, as
     GTN/utils/data_utils.py:148 appends it).
@@ -181,10 +181,15 @@ def build_gtn_plan(adjs: List[Tuple[np.ndarray, np.ndarray, np.ndarray]],
         W = sum(len(a) for a in hw)
         wedge_counts.append(W)
         if W > max_wedges:
+            # the guard protects HOST plan-build memory (the vectorised
+            # wedge enumeration holds several O(W) int64 arrays); on
+            # DEVICE, SparseGTN streams oversized steps through a
+            # lax.scan (wedge_block), so the old 50M device ceiling is
+            # gone — raise max_wedges if the host has the RAM.
             raise ValueError(
-                f"composition {s} needs {W} wedges (> {max_wedges}); the "
-                "metapath products are too dense for the sparse plan — "
-                "use the dense GTN layout for this graph")
+                f"composition {s} needs {W} wedges (> {max_wedges}); "
+                "raise max_wedges if the host has the RAM for the plan "
+                "build, or use the dense GTN layout for this graph")
         cat = (lambda xs, d: np.concatenate(xs) if W else
                np.zeros(0, d))
         step_h.append(cat(hw, np.int32))
@@ -267,13 +272,23 @@ class _GTLayerParams(nn.Module):
 
 class SparseGTN(nn.Module):
     """GTN over a ``GTNPlan`` — same semantics and parameter tree as
-    ``nn.GTN`` (parity-tested), O(nnz) instead of O(N²)."""
+    ``nn.GTN`` (parity-tested), O(nnz) instead of O(N²).
+
+    Also accepts a ``parallel.gtn_sparse.ShardedGTNPlan``: compositions
+    then run wedge-partitioned over the plan's device mesh (receiver-
+    owned slots, one all_gather per step) with identical results.
+
+    ``wedge_block`` bounds the per-step device working set: steps whose
+    channel-folded wedge count exceeds it stream through a lax.scan of
+    that chunk size (peak memory O(wedge_block + C·nnz) instead of
+    O(C·W)), which is what breaks the old 50M-wedge ceiling."""
 
     num_classes: int
     channels: int = 2
     num_layers: int = 2
     hidden: int = 64
     dtype: Optional[jnp.dtype] = None
+    wedge_block: int = 8_000_000
 
     @nn.compact
     def __call__(self, plan: GTNPlan, x: jax.Array,
@@ -310,16 +325,50 @@ class SparseGTN(nn.Module):
             XLA copied the wedge tensor into a (8,128)-tiled layout in
             the backward pass, padding C=2 lanes to 128 (64× expansion,
             14.6 GB at 30M wedges)."""
+            if hasattr(plan, "mesh"):      # ShardedGTNPlan: wedge-
+                from ..parallel.gtn_sparse import compose_sharded
+                return compose_sharded(plan, h_vals, mix, s, C)
             nnz_in, nnz_out = plan.nnz[s], plan.nnz[s + 1]
             n_t = plan.n_types
             ch = jnp.arange(C, dtype=jnp.int32)[:, None]
             gidx = (ch * nnz_in + plan.step_h_idx[s][None, :]).reshape(-1)
             oidx = (ch * nnz_out + plan.step_out[s][None, :]).reshape(-1)
             cidx = (ch * n_t + plan.step_type[s][None, :]).reshape(-1)
-            coef = mix.reshape(-1)[cidx] * jnp.tile(plan.step_a_val[s], C)
-            vals = h_vals.reshape(-1)[gidx] * coef               # [C·W]
-            out = jax.ops.segment_sum(vals, oidx,
-                                      num_segments=C * nnz_out)
+            aval = jnp.tile(plan.step_a_val[s], C)
+            total = C * plan.wedge_counts[s]
+            if total <= self.wedge_block:
+                coef = mix.reshape(-1)[cidx] * aval
+                vals = h_vals.reshape(-1)[gidx] * coef           # [C·W]
+                out = jax.ops.segment_sum(vals, oidx,
+                                          num_segments=C * nnz_out)
+                return out.reshape(C, nnz_out)
+            # blocked composition: stream wedge chunks through one
+            # lax.scan — the [C·W] gathered-values tensor (the old 50M-
+            # wedge memory ceiling) never materialises; peak extra
+            # memory is one wedge_block chunk + the [C·nnz_out] output.
+            chunk = int(self.wedge_block)
+            nb = -(-total // chunk)
+            pad = nb * chunk - total
+
+            def padz(a):
+                return jnp.pad(a, (0, pad))      # a_val pads 0 ⇒ inert
+
+            gidx_b = padz(gidx).reshape(nb, chunk)
+            oidx_b = padz(oidx).reshape(nb, chunk)
+            cidx_b = padz(cidx).reshape(nb, chunk)
+            aval_b = padz(aval).reshape(nb, chunk)
+            h_flat = h_vals.reshape(-1)
+            mix_flat = mix.reshape(-1)
+
+            def body(acc, xs):
+                gi, oi, ci, av = xs
+                vals = h_flat[gi] * (mix_flat[ci] * av)
+                return acc + jax.ops.segment_sum(
+                    vals, oi, num_segments=C * nnz_out), None
+
+            acc0 = jnp.zeros((C * nnz_out,), jnp.float32)
+            out, _ = jax.lax.scan(body, acc0,
+                                  (gidx_b, oidx_b, cidx_b, aval_b))
             return out.reshape(C, nnz_out)
 
         m1, m2 = _GTLayerParams(C, plan.n_types, first=True,

@@ -768,6 +768,91 @@ _tile_parts.defvjp(_tile_parts_fwd, _tile_parts_bwd)
 
 
 # ---------------------------------------------------------------------------
+# fused COO-remainder softmax partials
+# ---------------------------------------------------------------------------
+
+
+def _rem_parts_xla(rem, x, f_src, f_dst, m, keep_mul, slope):
+    """Reference composition of the remainder partials (CPU forward AND
+    the gradient path of _rem_parts): sddmm -> leaky -> exp(shift m) ->
+    den segment-sum; numerator dropout-masks p then weighted-aggregates.
+    ``keep_mul`` is the [E_pad, H] keep/keep_prob multiplier (or None)."""
+    from .aggregate import aggregate_edges
+    from .spmm import sddmm_additive, spmm_weighted
+
+    fs32 = f_src.astype(jnp.float32)
+    fd32 = f_dst.astype(jnp.float32)
+    s_rem = sddmm_additive(rem.senders, rem.receivers, fs32, fd32)
+    s_rem = _leaky(s_rem, slope) - m[rem.receivers]
+    s_rem = jnp.where(s_rem > 0, 0.0, s_rem)
+    w_rem = rem.edge_weight[:, None] * rem.edge_mask[:, None]
+    p = w_rem * jnp.exp(s_rem)                                 # [E, H]
+    den = aggregate_edges(rem, p)                              # [N, H]
+    p_num = p * keep_mul if keep_mul is not None else p
+    num = spmm_weighted(rem, p_num.astype(x.dtype),
+                        x).astype(jnp.float32)                 # [N, H, F]
+    return num, den
+
+
+def _rem_parts_impl(rem, x, f_src, f_dst, m, keep_mul, slope):
+    from . import _use_pallas
+
+    n, heads, feat = x.shape
+    if _use_pallas(x):
+        from .pallas.rem_attend_kernel import rem_attend_pallas
+
+        fs32 = f_src.astype(jnp.float32)
+        fsg = fs32[rem.senders]                                # [E, H]
+        w_col = (rem.edge_weight
+                 * rem.edge_mask).astype(jnp.float32).reshape(-1, 1)
+        xg = x.reshape(n, heads * feat)[rem.senders]           # [E, H·F]
+        n_pad = (-(-n // ROW_BLOCK)) * ROW_BLOCK
+        fd_pad = _pad_rows(f_dst.astype(jnp.float32), n_pad)
+        m_pad = _pad_rows(m, n_pad)
+        num, den = rem_attend_pallas(
+            rem.chunk_off, rem.chunk_cnt,
+            rem.receivers.reshape(-1, 1), fsg, w_col, xg, keep_mul,
+            fd_pad, m_pad, heads, feat, n, rem.max_chunks,
+            float(slope), keep_mul is not None)
+        return num[:n].reshape(n, heads, feat), den[:n]
+    return _rem_parts_xla(rem, x, f_src, f_dst, m, keep_mul, slope)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _rem_parts(rem, x, f_src, f_dst, m, keep_mul, slope):
+    """Remainder softmax partials (num [N,H,F] f32, den [N,H] f32) —
+    fused Pallas pass on TPU (ops/pallas/rem_attend_kernel.py), the XLA
+    composition elsewhere; backward through the XLA formulation."""
+    return _rem_parts_impl(rem, x, f_src, f_dst, m, keep_mul, slope)
+
+
+def _rem_parts_fwd(rem, x, f_src, f_dst, m, keep_mul, slope):
+    out = _rem_parts_impl(rem, x, f_src, f_dst, m, keep_mul, slope)
+    return out, (rem, x, f_src, f_dst, m, keep_mul)
+
+
+def _rem_parts_bwd(slope, res, g):
+    rem, x, f_src, f_dst, m, keep_mul = res
+    _, vjp = jax.vjp(
+        lambda xx, fs, fd: _rem_parts_xla(rem, xx, fs, fd, m, keep_mul,
+                                          slope),
+        x, f_src, f_dst)
+    dx, dfs, dfd = vjp(g)
+
+    def zeros(tree):
+        return jax.tree_util.tree_map(
+            lambda a: (np.zeros(a.shape, jax.dtypes.float0)
+                       if jnp.issubdtype(a.dtype, jnp.integer)
+                       else jnp.zeros_like(a)), tree)
+
+    return (zeros(rem), dx, dfs, dfd, jnp.zeros_like(m),
+            zeros(keep_mul))
+
+
+_rem_parts.defvjp(_rem_parts_fwd, _rem_parts_bwd)
+
+
+# ---------------------------------------------------------------------------
 # public entry: full hybrid GAT attention
 # ---------------------------------------------------------------------------
 
@@ -818,26 +903,20 @@ def gat_tiled_attend(hg: HybridGraph, x: jax.Array, f_src: jax.Array,
     # kernel's accumulators, and the softmax division runs in-register at
     # the last tile slot — the [N, H·F] numerator never round-trips HBM
     # between the tile pass and an epilogue (round-4 fusion; was ~46 ms
-    # full vs ~9 ms kernel at the 2M-edge bench shape).
-    from .aggregate import aggregate_edges
-    from .spmm import sddmm_additive, spmm_weighted
-
-    s_rem = sddmm_additive(rem.senders, rem.receivers, fs32, fd32)
-    s_rem = _leaky(s_rem, negative_slope) - m[rem.receivers]
-    s_rem = jnp.where(s_rem > 0, 0.0, s_rem)
-    w_rem = rem.edge_weight[:, None] * rem.edge_mask[:, None]
-    p_rem = w_rem * jnp.exp(s_rem)                             # [E, H]
-    den_r = aggregate_edges(rem, p_rem)                        # [N, H]
+    # full vs ~9 ms kernel at the 2M-edge bench shape). The partials
+    # themselves come from ONE fused Pallas pass over the receiver-sorted
+    # remainder (round-5: score+exp+den+num in-kernel, replacing the
+    # ~100 ns/edge XLA glue — ops/pallas/rem_attend_kernel.py). f32
+    # because _attend_fused's backward returns f32 init cotangents.
     if dropping:
         keep = jax.random.bernoulli(
-            jax.random.fold_in(dropout_rng, 1), keep_prob, p_rem.shape)
-        p_num = jnp.where(keep, p_rem / keep_prob, 0.0)
+            jax.random.fold_in(dropout_rng, 1), keep_prob,
+            (rem.senders.shape[0], heads))
+        keep_mul = keep.astype(jnp.float32) / keep_prob
     else:
-        p_num = p_rem
-    # f32: _attend_fused's backward returns f32 cotangents for the init
-    # partials (its accumulators are f32), so the primals must be f32 too
-    num_r = spmm_weighted(rem, p_num.astype(x.dtype),
-                          x).astype(jnp.float32)               # [N, H, F]
+        keep_mul = None
+    num_r, den_r = _rem_parts(rem, x, fs32, fd32, m, keep_mul,
+                              float(negative_slope))
 
     out, _ = _attend_fused(bg, bits, x, f_src, f_dst, m, num_r, den_r,
                            float(negative_slope), float(keep_prob))
