@@ -32,6 +32,7 @@ the compile service degrades. Hence:
 """
 
 import argparse
+import functools
 import hashlib
 import json
 import os
@@ -156,9 +157,15 @@ def _memo_locality_order(s, r, n):
 _GRAPH_CACHE: dict = {}
 
 
-def _clustered_setup(n, e, comm):
-    """Build (hybrid, coo, e_real) once per worker process."""
-    key = (n, e, comm)
+def _clustered_setup(n, e, comm, dtype="float32"):
+    """Build (hybrid, coo, e_real) once per worker process.
+
+    bf16 sections get bf16 tile stores: the bench graph's edge weights
+    are unit counts (small ints — exact in bf16), and f32 tiles would
+    otherwise be the kernel's single largest stream (134 MB at the
+    headline shape) plus an in-jit cast pass."""
+    import numpy as np_  # noqa: F401  (kept local; numpy imported above)
+    key = (n, e, comm, dtype)
     if key in _GRAPH_CACHE:
         return _GRAPH_CACHE[key]
     import graphneuralnetwork_tpu as g
@@ -168,7 +175,11 @@ def _clustered_setup(n, e, comm):
     s, r = _clustered_graph(n, e, comm)
     perm = _memo_locality_order(s, r, n)
     s2, r2 = relabel_edges(perm, s, r)
-    hg = build_hybrid(s2, r2, n)
+    tile_dtype = np.float32
+    if dtype == "bfloat16":
+        import jax.numpy as jnp
+        tile_dtype = jnp.bfloat16
+    hg = build_hybrid(s2, r2, n, dtype=tile_dtype)
     gr = g.build_graph(s2, r2, n)
     _GRAPH_CACHE[key] = (hg, gr, len(s))
     return _GRAPH_CACHE[key]
@@ -192,13 +203,14 @@ def _coo_spmm_bytes(e_pad, n_pad, f, b):
 
 
 def _hybrid_spmm_bytes(hg, f, b):
-    """tiles T·RB·CB·4 + x-blocks T·CB·F·b + tile-out N·F·4, plus the COO
-    remainder (same model as _coo_spmm_bytes) and the final add."""
+    """tiles T·RB·CB·tb + x-blocks T·CB·F·b + tile-out N·F·4, plus the
+    COO remainder (same model as _coo_spmm_bytes) and the final add."""
     from graphneuralnetwork_tpu.core.bcsr import COL_BLOCK, ROW_BLOCK
 
     t = hg.bcsr.tiles.shape[0]
+    tb = hg.bcsr.tiles.dtype.itemsize
     n_pad = hg.bcsr.n_node_pad
-    tile = t * (ROW_BLOCK * COL_BLOCK * 4 + COL_BLOCK * f * b) \
+    tile = t * (ROW_BLOCK * COL_BLOCK * tb + COL_BLOCK * f * b) \
         + n_pad * f * 4
     rem = _coo_spmm_bytes(hg.rem.n_edge_pad, n_pad, f, b)
     return tile + rem + 2 * n_pad * f * b   # + elementwise add
@@ -291,7 +303,7 @@ def _bench_spmm_clustered(n=131072, e=2_097_152, f=128, comm=256,
 
     from graphneuralnetwork_tpu.ops import set_ops_impl, spmm
 
-    hg, gr, e_real = _clustered_setup(n, e, comm)
+    hg, gr, e_real = _clustered_setup(n, e, comm, dtype)
 
     rng = np.random.default_rng(0)
     x0 = jnp.asarray(rng.normal(size=(n, f)).astype(np.float32))
@@ -337,52 +349,56 @@ def _bench_gat_attend(n=131072, e=2_097_152, f=128, heads=8, comm=256,
     fs = jnp.asarray(rng.normal(size=(n, heads)).astype(np.float32))
     fd = jnp.asarray(rng.normal(size=(n, heads)).astype(np.float32))
 
-    def coo_fwd(xx, a, b):
-        sc = a[gr.senders] + b[gr.receivers]
+    def coo_fwd(g_, xx, a, b):
+        sc = a[g_.senders] + b[g_.receivers]
         sc = jnp.where(sc > 0, sc, 0.2 * sc)
-        al = edge_softmax(gr, sc)
-        return spmm_weighted(gr, al.astype(xx.dtype), xx)
+        al = edge_softmax(g_, sc)
+        return spmm_weighted(g_, al.astype(xx.dtype), xx)
 
-    def tiled_fwd(xx, a, b):
-        return gat_tiled_attend(hg, xx, a, b)
+    def tiled_fwd(g_, xx, a, b):
+        return gat_tiled_attend(g_, xx, a, b)
 
-    def timed(fn, grad):
+    def timed(fn, graph, grad):
+        # graph passes as a jit ARGUMENT: closed-over containers embed
+        # 100MB+ HLO constants and the remote-compile endpoint rejects
+        # the request body (HTTP 413 — verify SKILL.md)
         if grad:
             gfn = jax.grad(
-                lambda xx, a, b: jnp.sum(
-                    fn(xx, a, b).astype(jnp.float32) * 1e-3),
-                argnums=(0, 1, 2))
+                lambda g_, xx, a, b: jnp.sum(
+                    fn(g_, xx, a, b).astype(jnp.float32) * 1e-3),
+                argnums=(1, 2, 3))
 
-            def step(carry, _):
+            def step(g_, carry, _):
                 xx, a, b = carry
-                dx, da, db = gfn(xx, a, b)
+                dx, da, db = gfn(g_, xx, a, b)
                 return (xx * 0.5 + dx.astype(xx.dtype) * 1e-3,
                         a + da * 1e-6, b + db * 1e-6), None
         else:
-            def step(carry, _):
+            def step(g_, carry, _):
                 xx, a, b = carry
-                out = fn(xx, a, b)
+                out = fn(g_, xx, a, b)
                 return (xx * 0.5 + out * 1e-3,
                         a + out[:, :, 0].astype(a.dtype) * 1e-6, b), None
 
         @jax.jit
-        def chain(xx, a, b):
-            (xx, a, b), _ = jax.lax.scan(step, (xx, a, b), None,
-                                         length=iters)
+        def chain(g_, xx, a, b):
+            (xx, a, b), _ = jax.lax.scan(
+                functools.partial(step, g_), (xx, a, b), None,
+                length=iters)
             return xx.ravel()[0].astype(jnp.float32)   # scalar sync
 
-        _ = np.asarray(chain(x, fs, fd))
+        _ = np.asarray(chain(graph, x, fs, fd))
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            _ = np.asarray(chain(x, fs, fd))
+            _ = np.asarray(chain(graph, x, fs, fd))
             best = min(best, (time.perf_counter() - t0) / iters)
         return best
 
-    t_tile_f = timed(tiled_fwd, grad=False)
-    t_coo_f = timed(coo_fwd, grad=False)
-    t_tile_g = timed(tiled_fwd, grad=True)
-    t_coo_g = timed(coo_fwd, grad=True)
+    t_tile_f = timed(tiled_fwd, hg, grad=False)
+    t_coo_f = timed(coo_fwd, gr, grad=False)
+    t_tile_g = timed(tiled_fwd, hg, grad=True)
+    t_coo_g = timed(coo_fwd, gr, grad=True)
 
     # coarse fwd traffic model: tiles read twice (nmax + attend) +
     # x-blocks once + remainder gather×3 + [N, H·F] out + partials

@@ -853,6 +853,86 @@ _rem_parts.defvjp(_rem_parts_fwd, _rem_parts_bwd)
 
 
 # ---------------------------------------------------------------------------
+# one-kernel online-softmax attend (TPU forward path)
+# ---------------------------------------------------------------------------
+
+
+def _attend_online_impl(hg, bits, keep_mul, x, f_src, f_dst, slope,
+                        keep_prob):
+    """Forward via the single online-softmax kernel
+    (ops/pallas/attend_online_kernel.py): no stabiliser pre-passes, no
+    partial round-trips. Returns (out [N,H,F] f32, m [N,H] f32 — the
+    exact softmax shift, zeroed where a node has no in-edges)."""
+    from .pallas.attend_online_kernel import attend_online_pallas
+
+    bg, rem = hg.bcsr, hg.rem
+    n, heads, feat = x.shape
+    n_pad = bg.n_node_pad
+    fs32 = f_src.astype(jnp.float32)
+    fd32 = f_dst.astype(jnp.float32)
+    x2f = _pad_rows(x.reshape(n, heads * feat), n_pad)
+    fsp = _pad_rows(fs32, n_pad).T
+    fdp = _pad_rows(fd32, n_pad)
+    fsg = fs32[rem.senders]                                   # [E, H]
+    w_col = (rem.edge_weight
+             * rem.edge_mask).astype(jnp.float32).reshape(-1, 1)
+    xg = x.reshape(n, heads * feat)[rem.senders]              # [E, H·F]
+    out, den, m = attend_online_pallas(
+        bg.tile_off, bg.tile_cnt, bg.col_ids, rem.chunk_off,
+        rem.chunk_cnt, bg.tiles, bits, x2f, fsp,
+        rem.receivers.reshape(-1, 1), fsg, w_col, xg, keep_mul, fdp,
+        heads, feat, n, bg.max_tiles, rem.max_chunks, float(slope),
+        float(keep_prob), keep_prob < 1.0, keep_mul is not None)
+    # zero the shift on empty rows so the backward formulation (which
+    # clamps exp args at 0 anyway) sees finite values everywhere
+    m = jnp.where(den[:n] > 0, m[:n], 0.0)
+    return out[:n].reshape(n, heads, feat), m
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _attend_online(hg, bits, keep_mul, x, f_src, f_dst, slope, keep_prob):
+    out, _ = _attend_online_impl(hg, bits, keep_mul, x, f_src, f_dst,
+                                 slope, keep_prob)
+    return out
+
+
+def _attend_online_fwd(hg, bits, keep_mul, x, f_src, f_dst, slope,
+                       keep_prob):
+    out, m = _attend_online_impl(hg, bits, keep_mul, x, f_src, f_dst,
+                                 slope, keep_prob)
+    return out, (hg, bits, keep_mul, x, f_src, f_dst, m)
+
+
+def _attend_online_bwd(slope, keep_prob, res, g):
+    hg, bits, keep_mul, x, f_src, f_dst, m = res
+
+    # gradient through the XLA formulation at the kernel's exact shift m
+    # (stop-grad; softmax shift invariance makes this exact)
+    def ref(xx, fs, fd):
+        num_t, den_t = _parts_xla(hg.bcsr, bits, xx, fs, fd, m, slope,
+                                  keep_prob)
+        num_r, den_r = _rem_parts_xla(hg.rem, xx, fs, fd, m, keep_mul,
+                                      slope)
+        den = den_t + den_r
+        return (num_t + num_r) / jnp.maximum(den, 1e-16)[:, :, None]
+
+    _, vjp = jax.vjp(ref, x, f_src, f_dst)
+    dx, dfs, dfd = vjp(g.astype(jnp.float32))
+
+    def zeros(tree):
+        return jax.tree_util.tree_map(
+            lambda a: (np.zeros(a.shape, jax.dtypes.float0)
+                       if jnp.issubdtype(a.dtype, jnp.integer)
+                       else jnp.zeros_like(a)), tree)
+
+    return (zeros(hg), zeros(bits), zeros(keep_mul), dx.astype(x.dtype),
+            dfs, dfd)
+
+
+_attend_online.defvjp(_attend_online_fwd, _attend_online_bwd)
+
+
+# ---------------------------------------------------------------------------
 # public entry: full hybrid GAT attention
 # ---------------------------------------------------------------------------
 
@@ -871,22 +951,13 @@ def gat_tiled_attend(hg: HybridGraph, x: jax.Array, f_src: jax.Array,
     remainder's edge weights).  Build the hybrid with unit edge weights
     (``build_hybrid(s, r, n)``) — GAT's adjacency is binary.
     """
+    from . import _use_pallas
+
     rem = hg.rem
     bg = hg.bcsr
     n, heads, feat = x.shape
     fs32 = f_src.astype(jnp.float32)
     fd32 = f_dst.astype(jnp.float32)
-
-    # --- exact softmax max via the monotone-LeakyReLU reduction ---
-    # (remainder max on the scatter-free Pallas kernel; XLA's scatter-max
-    # measured 12 ms on the 209k-edge remainder)
-    nmax_t = bcsr_neighbor_max(bg, fs32)                       # [N, H]
-    gathered = jnp.where(rem.edge_mask[:, None], fs32[rem.senders], NEG)
-    nmax_r = _rem_segment_max(rem, jax.lax.stop_gradient(gathered))
-    nmax = jnp.maximum(nmax_t, nmax_r)
-    m = _leaky(fd32 + nmax, negative_slope)
-    m = jnp.where(nmax > NEG / 2, m, 0.0)
-    m = jax.lax.stop_gradient(m)
 
     dropping = attn_dropout > 0.0 and dropout_rng is not None
     keep_prob = 1.0 - attn_dropout if dropping else 1.0
@@ -895,26 +966,35 @@ def gat_tiled_attend(hg: HybridGraph, x: jax.Array, f_src: jax.Array,
         bits = jax.random.bits(
             jax.random.fold_in(dropout_rng, 0),
             (bg.tiles.shape[0], ROW_BLOCK, COL_BLOCK), jnp.uint32)
-    else:
-        # inert placeholder (keep_prob == 1 paths never read it)
-        bits = jnp.zeros((bg.tiles.shape[0], 1, 1), jnp.uint32)
-
-    # --- COO remainder FIRST: its num/den partials seed the tile
-    # kernel's accumulators, and the softmax division runs in-register at
-    # the last tile slot — the [N, H·F] numerator never round-trips HBM
-    # between the tile pass and an epilogue (round-4 fusion; was ~46 ms
-    # full vs ~9 ms kernel at the 2M-edge bench shape). The partials
-    # themselves come from ONE fused Pallas pass over the receiver-sorted
-    # remainder (round-5: score+exp+den+num in-kernel, replacing the
-    # ~100 ns/edge XLA glue — ops/pallas/rem_attend_kernel.py). f32
-    # because _attend_fused's backward returns f32 init cotangents.
-    if dropping:
         keep = jax.random.bernoulli(
             jax.random.fold_in(dropout_rng, 1), keep_prob,
             (rem.senders.shape[0], heads))
         keep_mul = keep.astype(jnp.float32) / keep_prob
     else:
+        # inert placeholder (keep_prob == 1 paths never read it)
+        bits = jnp.zeros((bg.tiles.shape[0], 1, 1), jnp.uint32)
         keep_mul = None
+
+    if _use_pallas(x):
+        # TPU: ONE kernel — remainder chunks + tiles share a grid with
+        # flash-style online softmax (exact per-slot score bounds), the
+        # division happens in-register, and no stabiliser pre-pass or
+        # partial round-trip touches HBM (round-5 redesign; the two-pass
+        # pipeline below spent ~14.5 ms of its 28.5 ms computing m).
+        out = _attend_online(hg, bits, keep_mul, x, fs32, fd32,
+                             float(negative_slope), float(keep_prob))
+        return out.astype(x.dtype)
+
+    # --- XLA/CPU path: exact softmax max via the monotone-LeakyReLU
+    # reduction, then remainder partials seeding the tile formulation ---
+    nmax_t = bcsr_neighbor_max(bg, fs32)                       # [N, H]
+    gathered = jnp.where(rem.edge_mask[:, None], fs32[rem.senders], NEG)
+    nmax_r = _rem_segment_max(rem, jax.lax.stop_gradient(gathered))
+    nmax = jnp.maximum(nmax_t, nmax_r)
+    m = _leaky(fd32 + nmax, negative_slope)
+    m = jnp.where(nmax > NEG / 2, m, 0.0)
+    m = jax.lax.stop_gradient(m)
+
     num_r, den_r = _rem_parts(rem, x, fs32, fd32, m, keep_mul,
                               float(negative_slope))
 

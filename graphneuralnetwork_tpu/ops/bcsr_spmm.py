@@ -79,6 +79,33 @@ def _bcsr_kernel(off_ref, cnt_ref, col_ref, tile_ref, x_ref, out_ref,
         out_ref[:] += acc.astype(out_ref.dtype)
 
 
+def _bcsr_unrolled_kernel(off_ref, cnt_ref, col_ref, *refs, mt,
+                          precision):
+    """Unrolled grid (row_blocks,): each row block's whole tile span in
+    one grid step — at F=128 the per-slot blocks are 64 KB, so the 2-D
+    grid is bound by per-step fixed cost (index maps, DMA descriptors),
+    not bytes; collapsing the slot dimension deletes most of it."""
+    i = pl.program_id(0)
+    tile_refs = list(refs[:mt])
+    x_refs = list(refs[mt:2 * mt])
+    out_ref = refs[2 * mt]
+
+    out_ref[:] = jnp.zeros_like(out_ref)
+    for k in range(mt):
+        @pl.when(k < cnt_ref[i])
+        def _(k=k):
+            acc = jax.lax.dot_general(
+                tile_refs[k][0], x_refs[k][:],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                precision=precision,
+                preferred_element_type=jnp.float32)
+            out_ref[:] += acc.astype(out_ref.dtype)
+
+
+#: VMEM gate for the unrolled SpMM layout.
+UNROLL_MAX_TILES = 8
+
+
 @functools.partial(jax.jit, static_argnames=("n_nodes", "n_node_pad",
                                              "max_tiles"))
 def _bcsr_pallas(tiles, col_ids, tile_off, tile_cnt, x, n_nodes,
@@ -88,34 +115,68 @@ def _bcsr_pallas(tiles, col_ids, tile_off, tile_cnt, x, n_nodes,
     t_pad = tiles.shape[0]
     xp = _pad_rows(x, n_node_pad)
     tiles = tiles.astype(x.dtype)
+    unrolled = (max_tiles <= UNROLL_MAX_TILES
+                and max_tiles * COL_BLOCK * f * x.dtype.itemsize
+                <= 8 << 20)
 
-    def tile_map(i, j, off, cnt, col):
+    def tile_idx(i, jt, off, cnt):
         last = off[i] + jnp.maximum(cnt[i], 1) - 1
-        t = jnp.minimum(jnp.minimum(off[i] + j, last), t_pad - 1)
-        return (t, 0, 0)
+        return jnp.minimum(jnp.minimum(off[i] + jt, last), t_pad - 1)
 
-    def x_map(i, j, off, cnt, col):
-        last = off[i] + jnp.maximum(cnt[i], 1) - 1
-        t = jnp.minimum(jnp.minimum(off[i] + j, last), t_pad - 1)
-        return (col[t], 0)
+    if unrolled:
+        def tmap(k):
+            return lambda i, off, cnt, col: (tile_idx(i, k, off, cnt),
+                                             0, 0)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(n_rb, max_tiles),
-        in_specs=[
-            pl.BlockSpec((1, ROW_BLOCK, COL_BLOCK), tile_map,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((COL_BLOCK, f), x_map, memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((ROW_BLOCK, f),
-                               lambda i, j, off, cnt, col: (i, 0),
-                               memory_space=pltpu.VMEM),
-    )
-    kernel = functools.partial(_bcsr_kernel,
-                               precision=_precision(x.dtype))
+        def xmap(k):
+            return lambda i, off, cnt, col: (
+                col[tile_idx(i, k, off, cnt)], 0)
+
+        in_specs = [pl.BlockSpec((1, ROW_BLOCK, COL_BLOCK), tmap(k),
+                                 memory_space=pltpu.VMEM)
+                    for k in range(max_tiles)]
+        in_specs += [pl.BlockSpec((COL_BLOCK, f), xmap(k),
+                                  memory_space=pltpu.VMEM)
+                     for k in range(max_tiles)]
+        inputs = [tiles] * max_tiles + [xp] * max_tiles
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(n_rb,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((ROW_BLOCK, f),
+                                   lambda i, off, cnt, col: (i, 0),
+                                   memory_space=pltpu.VMEM),
+        )
+        kernel = functools.partial(_bcsr_unrolled_kernel, mt=max_tiles,
+                                   precision=_precision(x.dtype))
+    else:
+        def tile_map(i, j, off, cnt, col):
+            return (tile_idx(i, j, off, cnt), 0, 0)
+
+        def x_map(i, j, off, cnt, col):
+            return (col[tile_idx(i, j, off, cnt)], 0)
+
+        inputs = [tiles, xp]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(n_rb, max_tiles),
+            in_specs=[
+                pl.BlockSpec((1, ROW_BLOCK, COL_BLOCK), tile_map,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((COL_BLOCK, f), x_map,
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((ROW_BLOCK, f),
+                                   lambda i, j, off, cnt, col: (i, 0),
+                                   memory_space=pltpu.VMEM),
+        )
+        kernel = functools.partial(_bcsr_kernel,
+                                   precision=_precision(x.dtype))
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         out_shape=jax.ShapeDtypeStruct((n_node_pad, f), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * n_rb * max_tiles * ROW_BLOCK * COL_BLOCK * f,
@@ -124,7 +185,7 @@ def _bcsr_pallas(tiles, col_ids, tile_off, tile_cnt, x, n_nodes,
                             + n_node_pad * f * 4),
             transcendentals=0,
         ),
-    )(tile_off, tile_cnt, col_ids, tiles, xp)
+    )(tile_off, tile_cnt, col_ids, *inputs)
     return out[:n_nodes].astype(x.dtype)
 
 
