@@ -64,13 +64,41 @@ def _normalised_cum(probs: np.ndarray) -> np.ndarray:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class Node2VecTables:
-    """Device-resident transition structure for p/q walks."""
+    """Device-resident transition structure for p/q walks.
 
-    nbr: jax.Array        # int32[N, md] CSR-ordered neighbor slots
+    Per-step state is PACKED one row per node/edge —
+    ``[cum (md) ‖ neighbor ids as f32 (md) ‖ deg ‖ indptr]`` — so a walk
+    step is ONE wide row gather plus VPU elementwise math. The round-4
+    unpacked layout needed five separate narrow/scalar gathers per step
+    (deg[cur], indptr[cur], nbr[cur, j], cum[eid], …), each lowering to
+    the per-element gather path (~16× slower than the numpy lock-step
+    walker end-to-end); slot selection from the packed row uses a
+    one-hot multiply-sum instead of a second gather. Node/edge ids and
+    indptr values ride f32 lanes exactly while < 2^24 (guarded at
+    build).
+    """
+
     deg: jax.Array        # int32[N]
-    indptr: jax.Array     # int32[N + 1] (slot j of v ⇒ edge indptr[v]+j)
-    node_cum: jax.Array   # f32[N, md] first-hop CDF (edge weights)
-    edge_cum: jax.Array   # f32[E, md] second-order CDF with p/q biases
+    node_pack: jax.Array  # f32[N, 2·md + 2]
+    edge_pack: jax.Array  # f32[E, 2·md + 2]
+    md: int = dataclasses.field(metadata=dict(static=True))
+
+    # ---- compat views (tests / diagnostics) ----
+    @property
+    def node_cum(self) -> jax.Array:
+        return self.node_pack[:, : self.md]
+
+    @property
+    def edge_cum(self) -> jax.Array:
+        return self.edge_pack[:, : self.md]
+
+
+def _pack(cum: np.ndarray, nbr_rows: np.ndarray, deg_rows: np.ndarray,
+          iptr_rows: np.ndarray) -> np.ndarray:
+    return np.concatenate(
+        [cum, nbr_rows.astype(np.float32),
+         deg_rows[:, None].astype(np.float32),
+         iptr_rows[:, None].astype(np.float32)], axis=1)
 
 
 def build_node2vec_tables(indptr: np.ndarray, indices: np.ndarray,
@@ -82,6 +110,10 @@ def build_node2vec_tables(indptr: np.ndarray, indices: np.ndarray,
     indices = np.asarray(indices, np.int64)
     n = len(indptr) - 1
     e = len(indices)
+    if max(n, e) >= 1 << 24:
+        raise ValueError(
+            "packed walk tables carry ids in f32 lanes (exact below "
+            "2^24); this graph exceeds that — use the host walker")
     deg = (indptr[1:] - indptr[:-1]).astype(np.int64)
     md = max(int(deg.max(initial=1)), 1)
     w = (np.ones(e, np.float32) if weights is None
@@ -93,6 +125,7 @@ def build_node2vec_tables(indptr: np.ndarray, indices: np.ndarray,
     valid = np.arange(md)[None, :] < deg[:, None]
 
     node_cum = _normalised_cum(w_slots * valid)
+    node_pack = _pack(node_cum, nbr, deg, indptr[:-1])
 
     # second-order biases per directed edge e = (u → v): over v's slots x,
     # 1/p if x == u; 1 if (u, x) is an edge; 1/q otherwise.
@@ -107,18 +140,34 @@ def build_node2vec_tables(indptr: np.ndarray, indices: np.ndarray,
                     np.where(is_nb, 1.0, 1.0 / q)).astype(np.float32)
     probs = w_slots[v_of] * bias * valid[v_of]
     edge_cum = _normalised_cum(probs)
+    # edge row carries the TARGET v's neighbor/deg/indptr data: after
+    # traversing edge e=(u→v) the walker sits at v, so one row read
+    # serves both the biased draw and the hop bookkeeping.
+    edge_pack = _pack(edge_cum, nbr[v_of], deg[v_of], indptr[:-1][v_of])
 
     return Node2VecTables(
-        nbr=jnp.asarray(nbr), deg=jnp.asarray(deg.astype(np.int32)),
-        indptr=jnp.asarray(indptr.astype(np.int32)),
-        node_cum=jnp.asarray(node_cum), edge_cum=jnp.asarray(edge_cum))
+        deg=jnp.asarray(deg.astype(np.int32)),
+        node_pack=jnp.asarray(node_pack),
+        edge_pack=jnp.asarray(edge_pack),
+        md=int(md))
 
 
-def _cdf_draw(key, cum_rows: jax.Array) -> jax.Array:
-    """One uniform per row; slot = #(cum <= u). Padded slots carry cum=1,
-    and u < 1, so draws never land in padding."""
-    u = jax.random.uniform(key, (cum_rows.shape[0], 1))
-    return jnp.sum(cum_rows <= u, axis=1).astype(jnp.int32)
+def _packed_step(rows: jax.Array, u: jax.Array, md: int):
+    """rows [W, 2·md+2], u [W, 1] uniforms → (j, nxt, new_eid, has_nbr).
+
+    Slot draw = #(cum <= u) (padded slots carry cum=1, u < 1 never lands
+    there); neighbor pick = one-hot multiply-sum over the packed id
+    lanes (no second gather)."""
+    cum = rows[:, :md]
+    nbrf = rows[:, md:2 * md]
+    degv = rows[:, 2 * md]
+    iptr = rows[:, 2 * md + 1]
+    j = jnp.sum(cum <= u, axis=1).astype(jnp.int32)       # [W]
+    onehot = (jnp.arange(md, dtype=jnp.int32)[None, :]
+              == j[:, None]).astype(jnp.float32)
+    nxt = jnp.sum(nbrf * onehot, axis=1).astype(jnp.int32)
+    new_eid = (iptr + j.astype(jnp.float32)).astype(jnp.int32)
+    return nxt, new_eid, degv > 0
 
 
 def device_node2vec_walks(key, starts: jax.Array, length: int,
@@ -128,27 +177,28 @@ def device_node2vec_walks(key, starts: jax.Array, length: int,
     Matches Node2VecWalker.walk semantics: first hop draws from the node
     (edge-weight) distribution, later hops from the (prev→cur) edge's
     biased distribution; walkers at dead ends repeat the terminal node.
+    One packed row gather per walker per step (see Node2VecTables).
     """
     starts = starts.astype(jnp.int32)
     if length == 1:
         return starts[:, None]
+    md = t.md
     k0, krest = jax.random.split(jax.random.fold_in(key, 0))
 
-    alive0 = t.deg[starts] > 0
-    safe0 = jnp.where(alive0, starts, 0)
-    j0 = _cdf_draw(k0, t.node_cum[safe0])
-    eid = t.indptr[safe0] + j0
-    cur1 = jnp.where(alive0, t.nbr[safe0, j0], starts)
+    rows0 = t.node_pack[starts]
+    u0 = jax.random.uniform(k0, (starts.shape[0], 1))
+    nxt0, eid, alive0 = _packed_step(rows0, u0, md)
+    cur1 = jnp.where(alive0, nxt0, starts)
 
     def step(carry, k):
         cur, eid, alive = carry
-        still = alive & (t.deg[cur] > 0)
-        safe_e = jnp.where(still, eid, 0)
-        j = _cdf_draw(k, t.edge_cum[safe_e])
-        safe_c = jnp.where(still, cur, 0)
-        new_eid = t.indptr[safe_c] + j
-        nxt = jnp.where(still, t.nbr[safe_c, j], cur)
-        return (nxt, jnp.where(still, new_eid, eid), still), nxt
+        rows = t.edge_pack[jnp.where(alive, eid, 0)]
+        u = jax.random.uniform(k, (cur.shape[0], 1))
+        nxt, new_eid, has_nbr = _packed_step(rows, u, md)
+        still = alive & has_nbr
+        return (jnp.where(still, nxt, cur),
+                jnp.where(still, new_eid, eid), still), \
+            jnp.where(still, nxt, cur)
 
     keys = jax.random.split(krest, max(length - 2, 1))
     (_, _, _), rest = jax.lax.scan(
