@@ -273,12 +273,13 @@ def _attend_unrolled_kernel(toff_ref, tcnt_ref, col_ref, coff_ref,
 @functools.partial(jax.jit, static_argnames=("heads", "feat", "n_out",
                                              "max_tiles", "max_chunks",
                                              "slope", "keep_prob",
-                                             "has_bits", "has_keep"))
+                                             "has_bits", "has_keep",
+                                             "interpret"))
 def attend_online_pallas(tile_off, tile_cnt, col_ids, chunk_off,
                          chunk_cnt, tiles, bits, x2f, fsp, recv_col, fsg,
                          w_col, xg, keep_mul, fdp, heads, feat, n_out,
                          max_tiles, max_chunks, slope, keep_prob,
-                         has_bits, has_keep):
+                         has_bits, has_keep, interpret=False):
     """Whole hybrid attend in one pallas_call.
 
     Layouts: ``x2f`` [N_pad128, H·F] (tile col blocks); ``fsp`` [H,
@@ -433,6 +434,8 @@ def attend_online_pallas(tile_off, tile_cnt, col_ids, chunk_off,
     out, den, m = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
+        # interpret=True runs the kernel logic on CPU (CI parity tests)
+        interpret=interpret,
         # the unrolled layout holds mc xg chunks + mt x/tile blocks
         # resident at once (double-buffered) — past the default 16 MB
         # scoped-vmem soft limit at H·F = 1024; v5e VMEM is far larger

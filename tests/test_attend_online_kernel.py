@@ -1,0 +1,104 @@
+"""Interpret-mode CI coverage of the one-kernel online-softmax attend.
+
+The kernel (ops/pallas/attend_online_kernel.py) normally runs only on
+real TPU hardware; Pallas interpret mode executes the same kernel logic
+on CPU, so the grid/one-hot/online-max machinery is regression-tested
+in CI against the XLA composition that gat_tiled_attend uses off-TPU.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from graphneuralnetwork_tpu.core.bcsr import build_hybrid
+from graphneuralnetwork_tpu.ops.bcsr_attention import (NEG, _pad_rows,
+                                                       gat_tiled_attend)
+from graphneuralnetwork_tpu.ops.pallas.attend_online_kernel import (
+    attend_online_pallas)
+
+
+def _fixture(seed=0, n=512, e=8192, comm=64, heads=4, feat=32):
+    rng = np.random.default_rng(seed)
+    s = rng.integers(0, n, e).astype(np.int64)
+    intra = rng.random(e) < 0.9
+    base = (s // comm) * comm
+    r = np.where(intra,
+                 np.minimum(base + rng.integers(0, comm, e), n - 1),
+                 rng.integers(0, n, e))
+    keep = s != r
+    hg = build_hybrid(s[keep].astype(np.int32), r[keep].astype(np.int32),
+                      n, min_edges_per_tile=48)
+    x = jnp.asarray(rng.normal(size=(n, heads, feat)).astype(np.float32))
+    fs = jnp.asarray(rng.normal(size=(n, heads)).astype(np.float32))
+    fd = jnp.asarray(rng.normal(size=(n, heads)).astype(np.float32))
+    return hg, x, fs, fd
+
+
+def _run_kernel(hg, x, fs, fd, slope=0.2):
+    bg, rem = hg.bcsr, hg.rem
+    n, heads, feat = x.shape
+    n_pad = bg.n_node_pad
+    bits = jnp.zeros((bg.tiles.shape[0], 1, 1), jnp.uint32)
+    x2f = _pad_rows(x.reshape(n, heads * feat), n_pad)
+    fsp = _pad_rows(fs, n_pad).T
+    fdp = _pad_rows(fd, n_pad)
+    fsg = fs[rem.senders]
+    w_col = (rem.edge_weight
+             * rem.edge_mask).astype(jnp.float32).reshape(-1, 1)
+    xg = x.reshape(n, heads * feat)[rem.senders]
+    return attend_online_pallas(
+        bg.tile_off, bg.tile_cnt, bg.col_ids, rem.chunk_off,
+        rem.chunk_cnt, bg.tiles, bits, x2f, fsp,
+        rem.receivers.reshape(-1, 1), fsg, w_col, xg, None, fdp,
+        heads, feat, n, bg.max_tiles, rem.max_chunks, slope, 1.0,
+        False, False, interpret=True)
+
+
+def test_online_kernel_interpret_matches_xla_path():
+    hg, x, fs, fd = _fixture()
+    n, heads, feat = x.shape
+    out, den, m = _run_kernel(hg, x, fs, fd)
+    out = np.asarray(out[:n]).reshape(n, heads, feat)
+    ref = np.asarray(gat_tiled_attend(hg, x, fs, fd))  # XLA path on CPU
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
+
+    # the emitted shift m is the exact per-(node, head) score max where
+    # a node has in-edges, NEG-ish where it has none (den == 0)
+    den = np.asarray(den[:n])
+    m = np.asarray(m[:n])
+    assert np.isfinite(out).all()
+    assert (m[den == 0] < NEG / 2).all()
+    # spot-check m against a dense recompute
+    s_all = np.asarray(hg.rem.senders)
+    r_all = np.asarray(hg.rem.receivers)
+    mask = np.asarray(hg.rem.edge_mask)
+    fs_np, fd_np = np.asarray(fs), np.asarray(fd)
+    expect = np.full((n, heads), -np.inf)
+    for u, v in zip(s_all[mask], r_all[mask]):
+        sc = fs_np[u] + fd_np[v]
+        sc = np.where(sc > 0, sc, 0.2 * sc)
+        expect[v] = np.maximum(expect[v], sc)
+    tiles = np.asarray(hg.bcsr.tiles)
+    cid = np.asarray(hg.bcsr.col_ids)
+    rid = np.asarray(hg.bcsr.row_ids)
+    for t in range(tiles.shape[0]):
+        rr, cc = np.nonzero(tiles[t])
+        for i, j in zip(rr, cc):
+            v = rid[t] * 128 + i
+            u = cid[t] * 128 + j
+            if v < n and u < n:
+                sc = fs_np[u] + fd_np[v]
+                sc = np.where(sc > 0, sc, 0.2 * sc)
+                expect[v] = np.maximum(expect[v], sc)
+    have = expect > -np.inf
+    np.testing.assert_allclose(m[have], expect[have], rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_online_kernel_interpret_extreme_logits():
+    hg, x, fs, fd = _fixture(seed=1)
+    n, heads, feat = x.shape
+    out, _, _ = _run_kernel(hg, x, 50.0 * fs, 50.0 * fd)
+    out = np.asarray(out[:n]).reshape(n, heads, feat)
+    ref = np.asarray(gat_tiled_attend(hg, x, 50.0 * fs, 50.0 * fd))
+    assert np.isfinite(out).all()
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)

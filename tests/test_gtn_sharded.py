@@ -22,6 +22,7 @@ def _small_plan(seed=0, n=60, T=4, e=150):
     return plan, x, n
 
 
+@pytest.mark.heavy
 def test_sharded_sparse_gtn_matches_single_device():
     from jax.sharding import Mesh
 
@@ -70,6 +71,7 @@ def test_sharded_plan_covers_all_wedges():
         assert sum(splan.slot_cnt[s]) == plan.nnz[s + 1]
 
 
+@pytest.mark.heavy
 def test_blocked_compose_matches_unblocked():
     from graphneuralnetwork_tpu.nn.gtn_sparse import SparseGTN
 
