@@ -139,6 +139,14 @@ def build_bcsr_transpose(
     return build_bcsr(receivers, senders, n_nodes, edge_weight, **kw)
 
 
+#: Remainder sub-chunk width for the one-kernel attend: the SpMM kernel's
+#: 1024-edge chunks round every row block's remainder span UP to a full
+#: chunk, so sparse remainders process ~n_rb·1024 edge-slots regardless
+#: of E_rem; 256-edge sub-chunks cut that floor 4× (the attend kernel's
+#: per-visit work scales with the chunk width).
+ATTEND_CHUNK = 256
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class HybridGraph:
@@ -152,11 +160,17 @@ class HybridGraph:
 
     Break-even: a tile costs ~(RB·CB + CB·F)·4 B of traffic, a COO edge
     ~F·4 B, so a tile pays for itself above ~RB·CB/F ≈ 128–256 edges.
+
+    ``rem_fine_*`` are the remainder's chunk spans at ATTEND_CHUNK
+    granularity (same receiver-sorted edges) for the attend kernel.
     """
 
     bcsr: BCSRGraph
     bcsr_t: BCSRGraph          # Aᵀ tiles (backward); same object if symmetric
     rem: object                # core.graph.Graph — COO remainder
+    rem_fine_off: jax.Array    # int32[n_row_blocks]
+    rem_fine_cnt: jax.Array    # int32[n_row_blocks]
+    rem_fine_max: int = dataclasses.field(metadata=dict(static=True))
 
     @property
     def n_nodes(self) -> int:
@@ -206,7 +220,13 @@ def build_hybrid(
     rem = build_graph(s[~dense].astype(np.int32),
                       r[~dense].astype(np.int32), n_nodes,
                       w[~dense])
-    return HybridGraph(bcsr=bg, bcsr_t=bg_t, rem=rem)
+    from ..ops.pallas.spmm_kernel import compute_chunk_spans
+    f_off, f_cnt, f_max = compute_chunk_spans(
+        np.asarray(rem.receivers), n_nodes, chunk=ATTEND_CHUNK)
+    return HybridGraph(bcsr=bg, bcsr_t=bg_t, rem=rem,
+                       rem_fine_off=jnp.asarray(f_off),
+                       rem_fine_cnt=jnp.asarray(f_cnt),
+                       rem_fine_max=int(f_max))
 
 
 def bcsr_memory_bytes(n_edges: int, senders, receivers,

@@ -877,12 +877,14 @@ def _attend_online_impl(hg, bits, keep_mul, x, f_src, f_dst, slope,
     w_col = (rem.edge_weight
              * rem.edge_mask).astype(jnp.float32).reshape(-1, 1)
     xg = x.reshape(n, heads * feat)[rem.senders]              # [E, H·F]
+    from ..core.bcsr import ATTEND_CHUNK
     out, den, m = attend_online_pallas(
-        bg.tile_off, bg.tile_cnt, bg.col_ids, rem.chunk_off,
-        rem.chunk_cnt, bg.tiles, bits, x2f, fsp,
+        bg.tile_off, bg.tile_cnt, bg.col_ids, hg.rem_fine_off,
+        hg.rem_fine_cnt, bg.tiles, bits, x2f, fsp,
         rem.receivers.reshape(-1, 1), fsg, w_col, xg, keep_mul, fdp,
-        heads, feat, n, bg.max_tiles, rem.max_chunks, float(slope),
-        float(keep_prob), keep_prob < 1.0, keep_mul is not None)
+        heads, feat, n, bg.max_tiles, hg.rem_fine_max, float(slope),
+        float(keep_prob), keep_prob < 1.0, keep_mul is not None,
+        echunk=ATTEND_CHUNK)
     # zero the shift on empty rows so the backward formulation (which
     # clamps exp args at 0 anyway) sees finite values everywhere
     m = jnp.where(den[:n] > 0, m[:n], 0.0)

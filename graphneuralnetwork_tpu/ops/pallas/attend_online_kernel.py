@@ -57,7 +57,7 @@ NEG = -1e30
 _HI = jax.lax.Precision.HIGHEST
 
 #: VMEM gate for the unrolled layout (operand bytes grow with mc + mt).
-UNROLL_MAX_CHUNKS = 2
+UNROLL_MAX_CHUNKS = 8
 UNROLL_MAX_TILES = 6
 
 
@@ -93,10 +93,11 @@ def _rescale(num_ref, den_ref, m_ref, b, heads, feat):
 
 
 def _rem_slot(i, recv_ref, fsg_ref, w_ref, xg_ref, keep_ref, fdp_ref,
-              num_ref, den_ref, m_ref, *, heads, feat, slope, has_keep):
+              num_ref, den_ref, m_ref, *, heads, feat, slope, has_keep,
+              echunk):
     """Process one receiver-sorted COO remainder chunk."""
     cols = i * ROW_BLOCK + jax.lax.broadcasted_iota(
-        jnp.int32, (EDGE_CHUNK, ROW_BLOCK), 1)
+        jnp.int32, (echunk, ROW_BLOCK), 1)
     mt_b = recv_ref[:] == cols                       # [E, RB]
     mt_f = mt_b.astype(jnp.float32)
     fd_e = jax.lax.dot_general(
@@ -193,7 +194,7 @@ def _init(num_ref, den_ref, m_ref):
 
 def _attend_2d_kernel(toff_ref, tcnt_ref, col_ref, coff_ref, ccnt_ref,
                       *refs, heads, feat, mc, mt, slope, keep_prob,
-                      has_bits, has_keep):
+                      has_bits, has_keep, echunk):
     """Fallback 2-D grid: one slot per grid step."""
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -219,7 +220,7 @@ def _attend_2d_kernel(toff_ref, tcnt_ref, col_ref, coff_ref, ccnt_ref,
     def _():
         _rem_slot(i, recv_ref, fsg_ref, w_ref, xg_ref, keep_ref, fdp_ref,
                   num_ref, den_ref, m_ref, heads=heads, feat=feat,
-                  slope=slope, has_keep=has_keep)
+                  slope=slope, has_keep=has_keep, echunk=echunk)
 
     @pl.when(jnp.logical_and(j >= mc, j - mc < tcnt_ref[i]))
     def _():
@@ -234,7 +235,7 @@ def _attend_2d_kernel(toff_ref, tcnt_ref, col_ref, coff_ref, ccnt_ref,
 
 def _attend_unrolled_kernel(toff_ref, tcnt_ref, col_ref, coff_ref,
                             ccnt_ref, *refs, heads, feat, mc, mt, slope,
-                            keep_prob, has_bits, has_keep):
+                            keep_prob, has_bits, has_keep, echunk):
     """Unrolled grid (row_blocks,): all slots in one step — per-slot
     operands arrive through per-slot input specs."""
     i = pl.program_id(0)
@@ -259,7 +260,7 @@ def _attend_unrolled_kernel(toff_ref, tcnt_ref, col_ref, coff_ref,
             _rem_slot(i, recv_refs[k], fsg_refs[k], w_refs[k], xg_refs[k],
                       keep_refs[k], fdp_ref, num_ref, den_ref, m_ref,
                       heads=heads, feat=feat, slope=slope,
-                      has_keep=has_keep)
+                      has_keep=has_keep, echunk=echunk)
     for k in range(mt):
         @pl.when(k < tcnt_ref[i])
         def _(k=k):
@@ -274,12 +275,13 @@ def _attend_unrolled_kernel(toff_ref, tcnt_ref, col_ref, coff_ref,
                                              "max_tiles", "max_chunks",
                                              "slope", "keep_prob",
                                              "has_bits", "has_keep",
-                                             "interpret"))
+                                             "interpret", "echunk"))
 def attend_online_pallas(tile_off, tile_cnt, col_ids, chunk_off,
                          chunk_cnt, tiles, bits, x2f, fsp, recv_col, fsg,
                          w_col, xg, keep_mul, fdp, heads, feat, n_out,
                          max_tiles, max_chunks, slope, keep_prob,
-                         has_bits, has_keep, interpret=False):
+                         has_bits, has_keep, interpret=False,
+                         echunk=EDGE_CHUNK):
     """Whole hybrid attend in one pallas_call.
 
     Layouts: ``x2f`` [N_pad128, H·F] (tile col blocks); ``fsp`` [H,
@@ -291,7 +293,7 @@ def attend_online_pallas(tile_off, tile_cnt, col_ids, chunk_off,
     shift, NEG where a node saw no edges).
     """
     e_pad = recv_col.shape[0]
-    n_chunks = e_pad // EDGE_CHUNK
+    n_chunks = e_pad // echunk
     t_pad = tiles.shape[0]
     n_row_blocks = pl.cdiv(n_out, ROW_BLOCK)
     n_out_pad = n_row_blocks * ROW_BLOCK
@@ -353,12 +355,12 @@ def attend_online_pallas(tile_off, tile_cnt, col_ids, chunk_off,
         for arr, width in ((recv_col, 1), (fsg, heads), (w_col, 1),
                            (xg, hf)):
             for k in range(mc):
-                in_specs.append(tile_shape((EDGE_CHUNK, width), cmap(k),
+                in_specs.append(tile_shape((echunk, width), cmap(k),
                                            memory_space=pltpu.VMEM))
                 inputs.append(arr)
         if has_keep:
             for k in range(mc):
-                in_specs.append(tile_shape((EDGE_CHUNK, heads), cmap(k),
+                in_specs.append(tile_shape((echunk, heads), cmap(k),
                                            memory_space=pltpu.VMEM))
                 inputs.append(keep_mul)
         in_specs.append(tile_shape((ROW_BLOCK, heads), row_map,
@@ -395,18 +397,18 @@ def attend_online_pallas(tile_off, tile_cnt, col_ids, chunk_off,
             tile_shape((COL_BLOCK, hf), xt_map, memory_space=pltpu.VMEM),
             tile_shape((heads, COL_BLOCK), fsp_map,
                        memory_space=pltpu.VMEM),
-            tile_shape((EDGE_CHUNK, 1), chunk_map,
+            tile_shape((echunk, 1), chunk_map,
                        memory_space=pltpu.VMEM),
-            tile_shape((EDGE_CHUNK, heads), chunk_map,
+            tile_shape((echunk, heads), chunk_map,
                        memory_space=pltpu.VMEM),
-            tile_shape((EDGE_CHUNK, 1), chunk_map,
+            tile_shape((echunk, 1), chunk_map,
                        memory_space=pltpu.VMEM),
-            tile_shape((EDGE_CHUNK, hf), chunk_map,
+            tile_shape((echunk, hf), chunk_map,
                        memory_space=pltpu.VMEM),
         ]
         inputs += [x2f, fsp, recv_col, fsg, w_col, xg]
         if has_keep:
-            in_specs.append(tile_shape((EDGE_CHUNK, heads), chunk_map,
+            in_specs.append(tile_shape((echunk, heads), chunk_map,
                                        memory_space=pltpu.VMEM))
             inputs.append(keep_mul)
         in_specs.append(tile_shape((ROW_BLOCK, heads), row_map,
@@ -429,7 +431,8 @@ def attend_online_pallas(tile_off, tile_cnt, col_ids, chunk_off,
     )
     kernel = functools.partial(
         kernel_fn, heads=heads, feat=feat, mc=mc, mt=mt, slope=slope,
-        keep_prob=keep_prob, has_bits=has_bits, has_keep=has_keep)
+        keep_prob=keep_prob, has_bits=has_bits, has_keep=has_keep,
+        echunk=echunk)
     xb = x2f.dtype.itemsize
     out, den, m = pl.pallas_call(
         kernel,

@@ -41,19 +41,23 @@ ROW_BLOCK = 128    # output rows per grid step (one-hot matmul M rows)
 EDGE_CHUNK = 1024
 
 
-def compute_chunk_spans(receivers_sorted: np.ndarray, n_out: int):
+def compute_chunk_spans(receivers_sorted: np.ndarray, n_out: int,
+                        chunk: int = EDGE_CHUNK):
     """Host precompute: per-128-row-block (first edge chunk, chunk count).
 
     Returns (chunk_off int32[n_row_blocks], chunk_cnt int32[n_row_blocks],
     max_chunks int). Padding edges (receiver == n_nodes-1, weight 0) are
     included in the last block's span — harmless, they aggregate zeros.
+    ``chunk`` defaults to the SpMM kernel's EDGE_CHUNK; callers with
+    their own chunk width (the attend kernel's finer remainder chunks)
+    pass it explicitly.
     """
     n_row_blocks = -(-max(n_out, 1) // ROW_BLOCK)
     bounds = np.arange(n_row_blocks + 1) * ROW_BLOCK
     row_start = np.searchsorted(receivers_sorted, bounds, side="left")
     row_start[-1] = receivers_sorted.shape[0]
-    lo = row_start[:-1] // EDGE_CHUNK
-    hi = -(-row_start[1:] // EDGE_CHUNK)
+    lo = row_start[:-1] // chunk
+    hi = -(-row_start[1:] // chunk)
     cnt = np.maximum(hi - lo, 0).astype(np.int32)
     return (
         lo.astype(np.int32),

@@ -45,12 +45,13 @@ def _run_kernel(hg, x, fs, fd, slope=0.2):
     w_col = (rem.edge_weight
              * rem.edge_mask).astype(jnp.float32).reshape(-1, 1)
     xg = x.reshape(n, heads * feat)[rem.senders]
+    from graphneuralnetwork_tpu.core.bcsr import ATTEND_CHUNK
     return attend_online_pallas(
-        bg.tile_off, bg.tile_cnt, bg.col_ids, rem.chunk_off,
-        rem.chunk_cnt, bg.tiles, bits, x2f, fsp,
+        bg.tile_off, bg.tile_cnt, bg.col_ids, hg.rem_fine_off,
+        hg.rem_fine_cnt, bg.tiles, bits, x2f, fsp,
         rem.receivers.reshape(-1, 1), fsg, w_col, xg, None, fdp,
-        heads, feat, n, bg.max_tiles, rem.max_chunks, slope, 1.0,
-        False, False, interpret=True)
+        heads, feat, n, bg.max_tiles, hg.rem_fine_max, slope, 1.0,
+        False, False, interpret=True, echunk=ATTEND_CHUNK)
 
 
 def test_online_kernel_interpret_matches_xla_path():
