@@ -170,7 +170,13 @@ class HybridGraph:
     rem: object                # core.graph.Graph — COO remainder
     rem_fine_off: jax.Array    # int32[n_row_blocks]
     rem_fine_cnt: jax.Array    # int32[n_row_blocks]
+    # transpose remainder (sender-sorted) + its fine spans — the
+    # backward kernel's dx/dfs pass owns SENDER rows
+    rem_t: object              # core.graph.Graph — Aᵀ COO remainder
+    rem_t_fine_off: jax.Array  # int32[n_row_blocks]
+    rem_t_fine_cnt: jax.Array  # int32[n_row_blocks]
     rem_fine_max: int = dataclasses.field(metadata=dict(static=True))
+    rem_t_fine_max: int = dataclasses.field(metadata=dict(static=True))
 
     @property
     def n_nodes(self) -> int:
@@ -220,13 +226,22 @@ def build_hybrid(
     rem = build_graph(s[~dense].astype(np.int32),
                       r[~dense].astype(np.int32), n_nodes,
                       w[~dense])
+    rem_t = build_graph(r[~dense].astype(np.int32),
+                        s[~dense].astype(np.int32), n_nodes,
+                        w[~dense])
     from ..ops.pallas.spmm_kernel import compute_chunk_spans
     f_off, f_cnt, f_max = compute_chunk_spans(
         np.asarray(rem.receivers), n_nodes, chunk=ATTEND_CHUNK)
+    ft_off, ft_cnt, ft_max = compute_chunk_spans(
+        np.asarray(rem_t.receivers), n_nodes, chunk=ATTEND_CHUNK)
     return HybridGraph(bcsr=bg, bcsr_t=bg_t, rem=rem,
                        rem_fine_off=jnp.asarray(f_off),
                        rem_fine_cnt=jnp.asarray(f_cnt),
-                       rem_fine_max=int(f_max))
+                       rem_t=rem_t,
+                       rem_t_fine_off=jnp.asarray(ft_off),
+                       rem_t_fine_cnt=jnp.asarray(ft_cnt),
+                       rem_fine_max=int(f_max),
+                       rem_t_fine_max=int(ft_max))
 
 
 def bcsr_memory_bytes(n_edges: int, senders, receivers,

@@ -888,25 +888,101 @@ def _attend_online_impl(hg, bits, keep_mul, x, f_src, f_dst, slope,
     # zero the shift on empty rows so the backward formulation (which
     # clamps exp args at 0 anyway) sees finite values everywhere
     m = jnp.where(den[:n] > 0, m[:n], 0.0)
-    return out[:n].reshape(n, heads, feat), m
+    return out[:n].reshape(n, heads, feat), m, den[:n]
+
+
+def _attend_bwd_kernels(hg, x, f_src, f_dst, m, out, den, g, slope,
+                        interpret=False):
+    """Kernelised gradient of the online attend (no attn-dropout):
+    pass A (forward tiles/remainder, receiver rows) -> dfd; pass B
+    (transpose tiles/remainder, sender rows) -> dx + dfs
+    (ops/pallas/attend_bwd_kernel.py)."""
+    from ..core.bcsr import ATTEND_CHUNK
+    from .pallas.attend_bwd_kernel import (attend_bwd_a_pallas,
+                                           attend_bwd_b_pallas)
+
+    bg, bg_t, rem, rem_t = hg.bcsr, hg.bcsr_t, hg.rem, hg.rem_t
+    n, heads, feat = x.shape
+    hf = heads * feat
+    n_pad = bg.n_node_pad
+    xdt = x.dtype
+
+    den_c = jnp.maximum(den, 1e-16)
+    g32 = g.astype(jnp.float32)
+    out32 = out.astype(jnp.float32)
+    live = (den > 0)[:, :, None]
+    gn = jnp.where(live, g32 / den_c[:, :, None], 0.0)     # [n, H, F]
+    dden = -jnp.where(den > 0,
+                      jnp.sum(g32 * out32, axis=-1) / den_c, 0.0)
+    fs32 = f_src.astype(jnp.float32)
+    fd32 = f_dst.astype(jnp.float32)
+
+    gn_flat = gn.reshape(n, hf).astype(xdt)
+    gn2f = _pad_rows(gn_flat, n_pad)
+    x_flat = x.reshape(n, hf)
+    x2f = _pad_rows(x_flat, n_pad)
+    fsp = _pad_rows(fs32, n_pad).T
+    fdm3_n = jnp.concatenate([fd32, m, dden], axis=1)      # [n, 3H]
+    fdm3 = _pad_rows(fdm3_n, n_pad)
+
+    # pass A: receiver-owned dfd over forward tiles + remainder
+    sxg = x_flat[rem.senders]
+    fsg = fs32[rem.senders]
+    w_col = (rem.edge_weight
+             * rem.edge_mask).astype(jnp.float32).reshape(-1, 1)
+    dfd = attend_bwd_a_pallas(
+        bg.tile_off, bg.tile_cnt, bg.col_ids, hg.rem_fine_off,
+        hg.rem_fine_cnt, bg.tiles, x2f, fsp, gn2f, fdm3,
+        rem.receivers.reshape(-1, 1), sxg, fsg, w_col, heads, feat, n,
+        bg.max_tiles, hg.rem_fine_max, float(slope), ATTEND_CHUNK,
+        interpret=interpret)
+
+    # pass B: sender-owned dx + dfs over transpose tiles + remainder
+    fsr = _pad_rows(fs32, n_pad)
+    gng = gn_flat[rem_t.senders]                 # receiver-side per edge
+    rdm3 = fdm3_n[rem_t.senders]
+    wt_col = (rem_t.edge_weight
+              * rem_t.edge_mask).astype(jnp.float32).reshape(-1, 1)
+    dx, dfs = attend_bwd_b_pallas(
+        bg_t.tile_off, bg_t.tile_cnt, bg_t.col_ids, hg.rem_t_fine_off,
+        hg.rem_t_fine_cnt, bg_t.tiles, gn2f, fdm3.T, x2f, fsr,
+        rem_t.receivers.reshape(-1, 1), gng, rdm3, wt_col, heads, feat,
+        n, bg_t.max_tiles, hg.rem_t_fine_max, float(slope), ATTEND_CHUNK,
+        interpret=interpret)
+    return (dx[:n].reshape(n, heads, feat), dfs[:n], dfd[:n])
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
 def _attend_online(hg, bits, keep_mul, x, f_src, f_dst, slope, keep_prob):
-    out, _ = _attend_online_impl(hg, bits, keep_mul, x, f_src, f_dst,
-                                 slope, keep_prob)
+    out, _, _ = _attend_online_impl(hg, bits, keep_mul, x, f_src, f_dst,
+                                    slope, keep_prob)
     return out
 
 
 def _attend_online_fwd(hg, bits, keep_mul, x, f_src, f_dst, slope,
                        keep_prob):
-    out, m = _attend_online_impl(hg, bits, keep_mul, x, f_src, f_dst,
-                                 slope, keep_prob)
-    return out, (hg, bits, keep_mul, x, f_src, f_dst, m)
+    out, m, den = _attend_online_impl(hg, bits, keep_mul, x, f_src,
+                                      f_dst, slope, keep_prob)
+    return out, (hg, bits, keep_mul, x, f_src, f_dst, m, out, den)
 
 
 def _attend_online_bwd(slope, keep_prob, res, g):
-    hg, bits, keep_mul, x, f_src, f_dst, m = res
+    hg, bits, keep_mul, x, f_src, f_dst, m, out, den = res
+
+    def zeros(tree):
+        return jax.tree_util.tree_map(
+            lambda a: (np.zeros(a.shape, jax.dtypes.float0)
+                       if jnp.issubdtype(a.dtype, jnp.integer)
+                       else jnp.zeros_like(a)), tree)
+
+    if keep_prob >= 1.0:
+        # kernelised backward (pass A dfd, pass B dx+dfs —
+        # ops/pallas/attend_bwd_kernel.py); the dropout path keeps the
+        # XLA formulation (its transpose pass would need a transposed
+        # view of the per-tile dropout lattice)
+        dx, dfs, dfd = _attend_bwd_kernels(hg, x, f_src, f_dst, m, out,
+                                           den, g, slope)
+        return (zeros(hg), zeros(bits), zeros(keep_mul), dx, dfs, dfd)
 
     # gradient through the XLA formulation at the kernel's exact shift m
     # (stop-grad; softmax shift invariance makes this exact)
@@ -915,17 +991,11 @@ def _attend_online_bwd(slope, keep_prob, res, g):
                                   keep_prob)
         num_r, den_r = _rem_parts_xla(hg.rem, xx, fs, fd, m, keep_mul,
                                       slope)
-        den = den_t + den_r
-        return (num_t + num_r) / jnp.maximum(den, 1e-16)[:, :, None]
+        den_f = den_t + den_r
+        return (num_t + num_r) / jnp.maximum(den_f, 1e-16)[:, :, None]
 
     _, vjp = jax.vjp(ref, x, f_src, f_dst)
     dx, dfs, dfd = vjp(g.astype(jnp.float32))
-
-    def zeros(tree):
-        return jax.tree_util.tree_map(
-            lambda a: (np.zeros(a.shape, jax.dtypes.float0)
-                       if jnp.issubdtype(a.dtype, jnp.integer)
-                       else jnp.zeros_like(a)), tree)
 
     return (zeros(hg), zeros(bits), zeros(keep_mul), dx.astype(x.dtype),
             dfs, dfd)

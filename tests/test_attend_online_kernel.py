@@ -6,6 +6,7 @@ on CPU, so the grid/one-hot/online-max machinery is regression-tested
 in CI against the XLA composition that gat_tiled_attend uses off-TPU.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -103,3 +104,33 @@ def test_online_kernel_interpret_extreme_logits():
     ref = np.asarray(gat_tiled_attend(hg, x, 50.0 * fs, 50.0 * fd))
     assert np.isfinite(out).all()
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_bwd_kernels_interpret_match_xla_grads():
+    """The two-pass kernel backward (pass A dfd; pass B dx+dfs over the
+    transpose layout) equals jax.grad of the XLA attend composition."""
+    from graphneuralnetwork_tpu.ops.bcsr_attention import (
+        _attend_bwd_kernels)
+
+    hg, x, fs, fd = _fixture(seed=2)
+    n, heads, feat = x.shape
+    out, den, m = _run_kernel(hg, x, fs, fd)
+    den = den[:n]
+    m = jnp.where(den > 0, m[:n], 0.0)
+    out3 = out[:n].reshape(n, heads, feat)
+    g = jnp.asarray(np.random.default_rng(5).normal(
+        size=(n, heads, feat)).astype(np.float32))
+
+    dx, dfs, dfd = _attend_bwd_kernels(hg, x, fs, fd, m, out3, den, g,
+                                       0.2, interpret=True)
+
+    def loss(xx, a, b):
+        return jnp.sum(gat_tiled_attend(hg, xx, a, b) * g)
+
+    rdx, rdfs, rdfd = jax.grad(loss, argnums=(0, 1, 2))(x, fs, fd)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(rdx),
+                               rtol=5e-4, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(dfs), np.asarray(rdfs),
+                               rtol=5e-4, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(dfd), np.asarray(rdfd),
+                               rtol=5e-4, atol=5e-5)
