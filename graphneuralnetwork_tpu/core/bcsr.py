@@ -175,6 +175,13 @@ class HybridGraph:
     rem_t: object              # core.graph.Graph — Aᵀ COO remainder
     rem_t_fine_off: jax.Array  # int32[n_row_blocks]
     rem_t_fine_cnt: jax.Array  # int32[n_row_blocks]
+    # dropout-mask alignment for the backward kernels: transpose tile t'
+    # covers the same edges as forward tile bits_tmap[t'] (transposed),
+    # and transpose-remainder slot k the same edge as remainder slot
+    # rem_t_eperm[k] — so per-step Bernoulli masks drawn in the forward
+    # layout can be viewed exactly in the transpose layout.
+    bits_tmap: jax.Array       # int32[T_t]
+    rem_t_eperm: jax.Array     # int32[E_pad_t]
     rem_fine_max: int = dataclasses.field(metadata=dict(static=True))
     rem_t_fine_max: int = dataclasses.field(metadata=dict(static=True))
 
@@ -234,12 +241,34 @@ def build_hybrid(
         np.asarray(rem.receivers), n_nodes, chunk=ATTEND_CHUNK)
     ft_off, ft_cnt, ft_max = compute_chunk_spans(
         np.asarray(rem_t.receivers), n_nodes, chunk=ATTEND_CHUNK)
+
+    # dropout-mask alignment (see HybridGraph docstring). Transpose tile
+    # (sb, rbb) covers forward tile (rb=rbb, cb=sb); per-edge, the sorts
+    # are both stable over the same remainder subset, so composing the
+    # two argsorts gives slot-exact correspondence.
+    fkeys = (np.asarray(bg.row_ids, np.int64) * n_cb
+             + np.asarray(bg.col_ids, np.int64))
+    tkeys = (np.asarray(bg_t.col_ids, np.int64) * n_cb
+             + np.asarray(bg_t.row_ids, np.int64))
+    bits_tmap = np.searchsorted(fkeys, tkeys).astype(np.int32)
+    bits_tmap = np.minimum(bits_tmap, len(fkeys) - 1)
+    sub_s = s[~dense]
+    sub_r = r[~dense]
+    order_r = np.argsort(sub_r, kind="stable")
+    order_s = np.argsort(sub_s, kind="stable")
+    inv_r = np.empty(len(order_r), np.int64)
+    inv_r[order_r] = np.arange(len(order_r))
+    eperm = np.zeros(int(rem_t.senders.shape[0]), np.int32)
+    if len(order_s):
+        eperm[: len(order_s)] = inv_r[order_s]
     return HybridGraph(bcsr=bg, bcsr_t=bg_t, rem=rem,
                        rem_fine_off=jnp.asarray(f_off),
                        rem_fine_cnt=jnp.asarray(f_cnt),
                        rem_t=rem_t,
                        rem_t_fine_off=jnp.asarray(ft_off),
                        rem_t_fine_cnt=jnp.asarray(ft_cnt),
+                       bits_tmap=jnp.asarray(bits_tmap),
+                       rem_t_eperm=jnp.asarray(eperm),
                        rem_fine_max=int(f_max),
                        rem_t_fine_max=int(ft_max))
 

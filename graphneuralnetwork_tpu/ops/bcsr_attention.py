@@ -891,12 +891,14 @@ def _attend_online_impl(hg, bits, keep_mul, x, f_src, f_dst, slope,
     return out[:n].reshape(n, heads, feat), m, den[:n]
 
 
-def _attend_bwd_kernels(hg, x, f_src, f_dst, m, out, den, g, slope,
-                        interpret=False):
-    """Kernelised gradient of the online attend (no attn-dropout):
-    pass A (forward tiles/remainder, receiver rows) -> dfd; pass B
-    (transpose tiles/remainder, sender rows) -> dx + dfs
-    (ops/pallas/attend_bwd_kernel.py)."""
+def _attend_bwd_kernels(hg, bits, keep_mul, x, f_src, f_dst, m, out,
+                        den, g, slope, keep_prob, interpret=False):
+    """Kernelised gradient of the online attend: pass A (forward
+    tiles/remainder, receiver rows) -> dfd; pass B (transpose
+    tiles/remainder, sender rows) -> dx + dfs
+    (ops/pallas/attend_bwd_kernel.py). Dropout masks are the forward's
+    own operands, viewed in the transpose layout via the build-time
+    alignment maps (HybridGraph.bits_tmap / rem_t_eperm)."""
     from ..core.bcsr import ATTEND_CHUNK
     from .pallas.attend_bwd_kernel import (attend_bwd_a_pallas,
                                            attend_bwd_b_pallas)
@@ -925,6 +927,15 @@ def _attend_bwd_kernels(hg, x, f_src, f_dst, m, out, den, g, slope,
     fdm3_n = jnp.concatenate([fd32, m, dden], axis=1)      # [n, 3H]
     fdm3 = _pad_rows(fdm3_n, n_pad)
 
+    dropping = keep_prob < 1.0
+    if dropping:
+        # pass B views of the forward masks: transposed lattice per
+        # matched tile; remainder multiplier permuted to rem_t order
+        bits_t = jnp.transpose(bits[hg.bits_tmap], (0, 2, 1))
+        keepm_t = keep_mul[hg.rem_t_eperm]
+    else:
+        bits_t = keepm_t = None
+
     # pass A: receiver-owned dfd over forward tiles + remainder
     sxg = x_flat[rem.senders]
     fsg = fs32[rem.senders]
@@ -932,9 +943,10 @@ def _attend_bwd_kernels(hg, x, f_src, f_dst, m, out, den, g, slope,
              * rem.edge_mask).astype(jnp.float32).reshape(-1, 1)
     dfd = attend_bwd_a_pallas(
         bg.tile_off, bg.tile_cnt, bg.col_ids, hg.rem_fine_off,
-        hg.rem_fine_cnt, bg.tiles, x2f, fsp, gn2f, fdm3,
-        rem.receivers.reshape(-1, 1), sxg, fsg, w_col, heads, feat, n,
-        bg.max_tiles, hg.rem_fine_max, float(slope), ATTEND_CHUNK,
+        hg.rem_fine_cnt, bg.tiles, bits, x2f, fsp, gn2f, fdm3,
+        rem.receivers.reshape(-1, 1), sxg, fsg, w_col, keep_mul, heads,
+        feat, n, bg.max_tiles, hg.rem_fine_max, float(slope),
+        ATTEND_CHUNK, keep_prob=float(keep_prob), has_keep=dropping,
         interpret=interpret)
 
     # pass B: sender-owned dx + dfs over transpose tiles + remainder
@@ -945,9 +957,10 @@ def _attend_bwd_kernels(hg, x, f_src, f_dst, m, out, den, g, slope,
               * rem_t.edge_mask).astype(jnp.float32).reshape(-1, 1)
     dx, dfs = attend_bwd_b_pallas(
         bg_t.tile_off, bg_t.tile_cnt, bg_t.col_ids, hg.rem_t_fine_off,
-        hg.rem_t_fine_cnt, bg_t.tiles, gn2f, fdm3.T, x2f, fsr,
-        rem_t.receivers.reshape(-1, 1), gng, rdm3, wt_col, heads, feat,
-        n, bg_t.max_tiles, hg.rem_t_fine_max, float(slope), ATTEND_CHUNK,
+        hg.rem_t_fine_cnt, bg_t.tiles, bits_t, gn2f, fdm3.T, x2f, fsr,
+        rem_t.receivers.reshape(-1, 1), gng, rdm3, wt_col, keepm_t,
+        heads, feat, n, bg_t.max_tiles, hg.rem_t_fine_max, float(slope),
+        ATTEND_CHUNK, keep_prob=float(keep_prob), has_keep=dropping,
         interpret=interpret)
     return (dx[:n].reshape(n, heads, feat), dfs[:n], dfd[:n])
 
@@ -975,30 +988,13 @@ def _attend_online_bwd(slope, keep_prob, res, g):
                        if jnp.issubdtype(a.dtype, jnp.integer)
                        else jnp.zeros_like(a)), tree)
 
-    if keep_prob >= 1.0:
-        # kernelised backward (pass A dfd, pass B dx+dfs —
-        # ops/pallas/attend_bwd_kernel.py); the dropout path keeps the
-        # XLA formulation (its transpose pass would need a transposed
-        # view of the per-tile dropout lattice)
-        dx, dfs, dfd = _attend_bwd_kernels(hg, x, f_src, f_dst, m, out,
-                                           den, g, slope)
-        return (zeros(hg), zeros(bits), zeros(keep_mul), dx, dfs, dfd)
-
-    # gradient through the XLA formulation at the kernel's exact shift m
-    # (stop-grad; softmax shift invariance makes this exact)
-    def ref(xx, fs, fd):
-        num_t, den_t = _parts_xla(hg.bcsr, bits, xx, fs, fd, m, slope,
-                                  keep_prob)
-        num_r, den_r = _rem_parts_xla(hg.rem, xx, fs, fd, m, keep_mul,
-                                      slope)
-        den_f = den_t + den_r
-        return (num_t + num_r) / jnp.maximum(den_f, 1e-16)[:, :, None]
-
-    _, vjp = jax.vjp(ref, x, f_src, f_dst)
-    dx, dfs, dfd = vjp(g.astype(jnp.float32))
-
-    return (zeros(hg), zeros(bits), zeros(keep_mul), dx.astype(x.dtype),
-            dfs, dfd)
+    # kernelised backward (pass A dfd, pass B dx+dfs —
+    # ops/pallas/attend_bwd_kernel.py); dropout masks are the residual
+    # operands, viewed in the transpose layout via the alignment maps
+    dx, dfs, dfd = _attend_bwd_kernels(hg, bits, keep_mul, x, f_src,
+                                       f_dst, m, out, den, g, slope,
+                                       keep_prob)
+    return (zeros(hg), zeros(bits), zeros(keep_mul), dx, dfs, dfd)
 
 
 _attend_online.defvjp(_attend_online_fwd, _attend_online_bwd)

@@ -20,9 +20,13 @@ exactly like the forward. m is a stop-gradient (softmax shift
 invariance), tiles are constants, so these two passes are the complete
 gradient w.r.t. (x, f_src, f_dst).
 
-Attention dropout falls back to the XLA formulation (the transpose pass
-would need a transposed view of the per-tile dropout lattice); the
-undropped path is the benchmark/inference-heavy one.
+Attention dropout is fully supported: pass A reuses the forward tile
+lattice and remainder keep multiplier directly (its rows are receiver-
+owned, like the forward), and pass B views the SAME masks in the
+transpose layout through build-time alignment maps — bits_t[t'] is the
+transposed lattice of forward tile ``HybridGraph.bits_tmap[t']`` and
+keepm_t the remainder multiplier permuted by ``rem_t_eperm`` — so
+forward and backward see identical Bernoulli draws by construction.
 
 Replaces the gradient of GAT/models/layers.py:94-131 (the reference's
 SpecialSpmmFunction.backward dense-index trick at :54-64) on the hybrid
@@ -39,6 +43,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...core.bcsr import COL_BLOCK, ROW_BLOCK
+from .attend_online_kernel import _head_keep
 
 NEG = -1e30
 _HI = jax.lax.Precision.HIGHEST
@@ -62,12 +67,23 @@ def _xprec(xdt):
 
 
 def _bwd_a_kernel(toff_ref, tcnt_ref, col_ref, coff_ref, ccnt_ref,
-                  tile_ref, xt_ref, fsp_ref, gn_ref, fdm3_ref,
-                  recv_ref, sxg_ref, fsg_ref, w_ref,
-                  dfd_ref, *, heads, feat, mc, mt, slope, echunk):
-    """fdm3_ref: [RB, 3H] = [fd ‖ m ‖ dden] row block (one operand)."""
+                  *refs, heads, feat, mc, mt, slope, echunk, keep_prob,
+                  has_keep):
+    """fdm3_ref: [RB, 3H] = [fd ‖ m ‖ dden] row block (one operand).
+    With dropout, ``bits_ref`` is the forward tile lattice and
+    ``keepm_ref`` the remainder keep/keep_prob multiplier — the q
+    (numerator) term is masked exactly as the forward masked p."""
     i = pl.program_id(0)
     j = pl.program_id(1)
+    it = iter(refs)
+    tile_ref = next(it)
+    bits_ref = next(it) if has_keep else None
+    xt_ref, fsp_ref, gn_ref, fdm3_ref = (next(it), next(it), next(it),
+                                         next(it))
+    recv_ref, sxg_ref, fsg_ref, w_ref = (next(it), next(it), next(it),
+                                         next(it))
+    keepm_ref = next(it) if has_keep else None
+    dfd_ref = next(it)
 
     @pl.when(j == 0)
     def _():
@@ -97,6 +113,8 @@ def _bwd_a_kernel(toff_ref, tcnt_ref, col_ref, coff_ref, ccnt_ref,
                 * sxg_ref[:, h * feat:(h + 1) * feat].astype(jnp.float32)
             q_cols.append(prod.sum(axis=1, keepdims=True))   # [E, 1]
         q = jnp.concatenate(q_cols, axis=1)                  # [E, H]
+        if has_keep:
+            q = q * keepm_ref[:]
         ds = p * (q + fdm[:, 2 * heads:]) * _lkp(s_pre, slope)
         dfd_ref[:] += jax.lax.dot_general(
             mt_f, ds, dimension_numbers=(((0,), (0,)), ((), ())),
@@ -120,6 +138,9 @@ def _bwd_a_kernel(toff_ref, tcnt_ref, col_ref, coff_ref, ccnt_ref,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 precision=_xprec(xdt),
                 preferred_element_type=jnp.float32)  # [RB, CB]
+            if has_keep:
+                keep = _head_keep(bits_ref[0], h, keep_prob)
+                q = jnp.where(keep, q * (1.0 / keep_prob), 0.0)
             ds = p * (q + dd_col) * _lkp(s_pre, slope)
             dfd_ref[:, h:h + 1] += ds.sum(axis=1, keepdims=True)
 
@@ -127,11 +148,13 @@ def _bwd_a_kernel(toff_ref, tcnt_ref, col_ref, coff_ref, ccnt_ref,
 @functools.partial(jax.jit, static_argnames=("heads", "feat", "n_out",
                                              "max_tiles", "max_chunks",
                                              "slope", "echunk",
+                                             "keep_prob", "has_keep",
                                              "interpret"))
 def attend_bwd_a_pallas(tile_off, tile_cnt, col_ids, chunk_off, chunk_cnt,
-                        tiles, x2f, fsp, gn2f, fdm3, recv_col, sxg, fsg,
-                        w_col, heads, feat, n_out, max_tiles, max_chunks,
-                        slope, echunk, interpret=False):
+                        tiles, bits, x2f, fsp, gn2f, fdm3, recv_col, sxg,
+                        fsg, w_col, keepm, heads, feat, n_out, max_tiles,
+                        max_chunks, slope, echunk, keep_prob=1.0,
+                        has_keep=False, interpret=False):
     """dfd [N_pad128, H] f32. Layouts: x2f/gn2f [N_pad, H·F]; fsp
     [H, N_pad]; fdm3 [N_pad, 3H] = [fd ‖ m ‖ dden]; remainder operands
     per edge (receiver-sorted, fine chunks)."""
@@ -165,35 +188,41 @@ def attend_bwd_a_pallas(tile_off, tile_cnt, col_ids, chunk_off, chunk_cnt,
     def row_map(i, j, toff, tcnt, col, coff, ccnt):
         return (i, 0)
 
+    in_specs = [pl.BlockSpec((1, ROW_BLOCK, COL_BLOCK), tile_map,
+                             memory_space=pltpu.VMEM)]
+    inputs = [tiles]
+    if has_keep:
+        in_specs.append(pl.BlockSpec((1, ROW_BLOCK, COL_BLOCK), tile_map,
+                                     memory_space=pltpu.VMEM))
+        inputs.append(bits)
+    in_specs += [
+        pl.BlockSpec((COL_BLOCK, hf), xt_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((heads, COL_BLOCK), fsp_map,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((ROW_BLOCK, hf), row_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((ROW_BLOCK, 3 * heads), row_map,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((echunk, 1), chunk_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((echunk, hf), chunk_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((echunk, heads), chunk_map,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((echunk, 1), chunk_map, memory_space=pltpu.VMEM),
+    ]
+    inputs += [x2f, fsp, gn2f, fdm3, recv_col, sxg, fsg, w_col]
+    if has_keep:
+        in_specs.append(pl.BlockSpec((echunk, heads), chunk_map,
+                                     memory_space=pltpu.VMEM))
+        inputs.append(keepm)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(n_rb, mc + mt),
-        in_specs=[
-            pl.BlockSpec((1, ROW_BLOCK, COL_BLOCK), tile_map,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((COL_BLOCK, hf), xt_map,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((heads, COL_BLOCK), fsp_map,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ROW_BLOCK, hf), row_map,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ROW_BLOCK, 3 * heads), row_map,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((echunk, 1), chunk_map,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((echunk, hf), chunk_map,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((echunk, heads), chunk_map,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((echunk, 1), chunk_map,
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((ROW_BLOCK, heads), row_map,
                                memory_space=pltpu.VMEM),
     )
     kernel = functools.partial(
         _bwd_a_kernel, heads=heads, feat=feat, mc=mc, mt=mt, slope=slope,
-        echunk=echunk)
+        echunk=echunk, keep_prob=keep_prob, has_keep=has_keep)
     xb = x2f.dtype.itemsize
     return pl.pallas_call(
         kernel,
@@ -212,8 +241,7 @@ def attend_bwd_a_pallas(tile_off, tile_cnt, col_ids, chunk_off, chunk_cnt,
             transcendentals=(t_pad * ROW_BLOCK * COL_BLOCK * heads
                              + e_pad * heads),
         ),
-    )(tile_off, tile_cnt, col_ids, chunk_off, chunk_cnt,
-      tiles, x2f, fsp, gn2f, fdm3, recv_col, sxg, fsg, w_col)
+    )(tile_off, tile_cnt, col_ids, chunk_off, chunk_cnt, *inputs)
 
 
 # ---------------------------------------------------------------------------
@@ -222,16 +250,24 @@ def attend_bwd_a_pallas(tile_off, tile_cnt, col_ids, chunk_off, chunk_cnt,
 
 
 def _bwd_b_kernel(toff_ref, tcnt_ref, col_ref, coff_ref, ccnt_ref,
-                  tile_ref, gnc_ref, rcol3_ref, xr_ref, fsr_ref,
-                  srecv_ref, gng_ref, rdm3_ref, w_ref,
-                  dx_ref, dfs_ref, dxacc_ref, *, heads, feat, mc, mt,
-                  slope, echunk):
+                  *refs, heads, feat, mc, mt, slope, echunk, keep_prob,
+                  has_keep):
     """Transpose layout: rows = senders. rcol3_ref [3H, CB] head-major
     = [fd ‖ m ‖ dden] of the tile's RECEIVER column block; xr_ref/
     fsr_ref row-side x and f_src; gng/rdm3: per-transpose-edge gathered
     gn [E, H·F] and [fd ‖ m ‖ dden] [E, 3H]."""
     i = pl.program_id(0)
     j = pl.program_id(1)
+    it = iter(refs)
+    tile_ref = next(it)
+    bits_t_ref = next(it) if has_keep else None
+    gnc_ref, rcol3_ref, xr_ref, fsr_ref = (next(it), next(it), next(it),
+                                           next(it))
+    srecv_ref, gng_ref, rdm3_ref, w_ref = (next(it), next(it), next(it),
+                                           next(it))
+    keepm_t_ref = next(it) if has_keep else None
+    dx_ref, dfs_ref = next(it), next(it)
+    dxacc_ref = next(it)
 
     @pl.when(j == 0)
     def _():
@@ -262,11 +298,14 @@ def _bwd_b_kernel(toff_ref, tcnt_ref, col_ref, coff_ref, ccnt_ref,
                 * gng_ref[:, h * feat:(h + 1) * feat].astype(jnp.float32)
             q_cols.append(prod.sum(axis=1, keepdims=True))
         q = jnp.concatenate(q_cols, axis=1)          # [E, H]
+        if has_keep:
+            q = q * keepm_t_ref[:]
         ds = p * (q + rdm3_ref[:, 2 * heads:]) * _lkp(s_pre, slope)
         dfs_ref[:] += jax.lax.dot_general(
             mt_f, ds, dimension_numbers=(((0,), (0,)), ((), ())),
             precision=_HI, preferred_element_type=jnp.float32)
-        px = p.astype(xdt)
+        p_num = p * keepm_t_ref[:] if has_keep else p
+        px = p_num.astype(xdt)
         for h in range(heads):
             vals = px[:, h:h + 1] * gng_ref[:, h * feat:(h + 1) * feat]
             dxacc_ref[:, h * feat:(h + 1) * feat] += jax.lax.dot_general(
@@ -285,8 +324,13 @@ def _bwd_b_kernel(toff_ref, tcnt_ref, col_ref, coff_ref, ccnt_ref,
             dd_row = rcol3_ref[2 * heads + h][None, :]
             s_pre = fs_col + fd_row                  # [RB, CB]
             p = w * jnp.exp(jnp.minimum(_lk(s_pre, slope) - m_row, 0.0))
+            if has_keep:
+                keep = _head_keep(bits_t_ref[0], h, keep_prob)
+                p_num = jnp.where(keep, p * (1.0 / keep_prob), 0.0)
+            else:
+                p_num = p
             dxacc_ref[:, h * feat:(h + 1) * feat] += jax.lax.dot_general(
-                p.astype(xdt), gnc_ref[:, h * feat:(h + 1) * feat],
+                p_num.astype(xdt), gnc_ref[:, h * feat:(h + 1) * feat],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 precision=_xprec(xdt),
                 preferred_element_type=jnp.float32)
@@ -296,6 +340,8 @@ def _bwd_b_kernel(toff_ref, tcnt_ref, col_ref, coff_ref, ccnt_ref,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 precision=_xprec(xdt),
                 preferred_element_type=jnp.float32)  # [RB, CB]
+            if has_keep:
+                q = jnp.where(keep, q * (1.0 / keep_prob), 0.0)
             ds = p * (q + dd_row) * _lkp(s_pre, slope)
             dfs_ref[:, h:h + 1] += ds.sum(axis=1, keepdims=True)
 
@@ -307,11 +353,13 @@ def _bwd_b_kernel(toff_ref, tcnt_ref, col_ref, coff_ref, ccnt_ref,
 @functools.partial(jax.jit, static_argnames=("heads", "feat", "n_out",
                                              "max_tiles", "max_chunks",
                                              "slope", "echunk",
+                                             "keep_prob", "has_keep",
                                              "interpret"))
 def attend_bwd_b_pallas(tile_off, tile_cnt, col_ids, chunk_off, chunk_cnt,
-                        tiles_t, gn2f, rcol3, x2f, fsr, srecv_col, gng,
-                        rdm3, w_col, heads, feat, n_out, max_tiles,
-                        max_chunks, slope, echunk, interpret=False):
+                        tiles_t, bits_t, gn2f, rcol3, x2f, fsr, srecv_col,
+                        gng, rdm3, w_col, keepm_t, heads, feat, n_out,
+                        max_tiles, max_chunks, slope, echunk,
+                        keep_prob=1.0, has_keep=False, interpret=False):
     """(dx [N_pad128, H·F] in x dtype, dfs [N_pad128, H] f32).
 
     ``tiles_t`` etc. describe Aᵀ (rows = senders); ``rcol3`` is
@@ -348,29 +396,35 @@ def attend_bwd_b_pallas(tile_off, tile_cnt, col_ids, chunk_off, chunk_cnt,
     def row_map(i, j, toff, tcnt, col, coff, ccnt):
         return (i, 0)
 
+    in_specs = [pl.BlockSpec((1, ROW_BLOCK, COL_BLOCK), tile_map,
+                             memory_space=pltpu.VMEM)]
+    inputs = [tiles_t]
+    if has_keep:
+        in_specs.append(pl.BlockSpec((1, ROW_BLOCK, COL_BLOCK), tile_map,
+                                     memory_space=pltpu.VMEM))
+        inputs.append(bits_t)
+    in_specs += [
+        pl.BlockSpec((COL_BLOCK, hf), gnc_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((3 * heads, COL_BLOCK), rcol3_map,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((ROW_BLOCK, hf), row_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((ROW_BLOCK, heads), row_map,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((echunk, 1), chunk_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((echunk, hf), chunk_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((echunk, 3 * heads), chunk_map,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((echunk, 1), chunk_map, memory_space=pltpu.VMEM),
+    ]
+    inputs += [gn2f, rcol3, x2f, fsr, srecv_col, gng, rdm3, w_col]
+    if has_keep:
+        in_specs.append(pl.BlockSpec((echunk, heads), chunk_map,
+                                     memory_space=pltpu.VMEM))
+        inputs.append(keepm_t)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(n_rb, mc + mt),
-        in_specs=[
-            pl.BlockSpec((1, ROW_BLOCK, COL_BLOCK), tile_map,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((COL_BLOCK, hf), gnc_map,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3 * heads, COL_BLOCK), rcol3_map,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ROW_BLOCK, hf), row_map,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ROW_BLOCK, heads), row_map,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((echunk, 1), chunk_map,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((echunk, hf), chunk_map,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((echunk, 3 * heads), chunk_map,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((echunk, 1), chunk_map,
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((ROW_BLOCK, hf), row_map,
                          memory_space=pltpu.VMEM),
@@ -381,7 +435,7 @@ def attend_bwd_b_pallas(tile_off, tile_cnt, col_ids, chunk_off, chunk_cnt,
     )
     kernel = functools.partial(
         _bwd_b_kernel, heads=heads, feat=feat, mc=mc, mt=mt, slope=slope,
-        echunk=echunk)
+        echunk=echunk, keep_prob=keep_prob, has_keep=has_keep)
     xb = x2f.dtype.itemsize
     dx, dfs = pl.pallas_call(
         kernel,
@@ -403,6 +457,5 @@ def attend_bwd_b_pallas(tile_off, tile_cnt, col_ids, chunk_off, chunk_cnt,
             transcendentals=(t_pad * ROW_BLOCK * COL_BLOCK * heads
                              + e_pad * heads),
         ),
-    )(tile_off, tile_cnt, col_ids, chunk_off, chunk_cnt,
-      tiles_t, gn2f, rcol3, x2f, fsr, srecv_col, gng, rdm3, w_col)
+    )(tile_off, tile_cnt, col_ids, chunk_off, chunk_cnt, *inputs)
     return dx, dfs

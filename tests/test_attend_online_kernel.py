@@ -34,11 +34,13 @@ def _fixture(seed=0, n=512, e=8192, comm=64, heads=4, feat=32):
     return hg, x, fs, fd
 
 
-def _run_kernel(hg, x, fs, fd, slope=0.2):
+def _run_kernel(hg, x, fs, fd, slope=0.2, bits=None, keep_mul=None,
+                keep_prob=1.0):
     bg, rem = hg.bcsr, hg.rem
     n, heads, feat = x.shape
     n_pad = bg.n_node_pad
-    bits = jnp.zeros((bg.tiles.shape[0], 1, 1), jnp.uint32)
+    if bits is None:
+        bits = jnp.zeros((bg.tiles.shape[0], 1, 1), jnp.uint32)
     x2f = _pad_rows(x.reshape(n, heads * feat), n_pad)
     fsp = _pad_rows(fs, n_pad).T
     fdp = _pad_rows(fd, n_pad)
@@ -50,9 +52,10 @@ def _run_kernel(hg, x, fs, fd, slope=0.2):
     return attend_online_pallas(
         bg.tile_off, bg.tile_cnt, bg.col_ids, hg.rem_fine_off,
         hg.rem_fine_cnt, bg.tiles, bits, x2f, fsp,
-        rem.receivers.reshape(-1, 1), fsg, w_col, xg, None, fdp,
-        heads, feat, n, bg.max_tiles, hg.rem_fine_max, slope, 1.0,
-        False, False, interpret=True, echunk=ATTEND_CHUNK)
+        rem.receivers.reshape(-1, 1), fsg, w_col, xg, keep_mul, fdp,
+        heads, feat, n, bg.max_tiles, hg.rem_fine_max, slope,
+        keep_prob, keep_prob < 1.0, keep_mul is not None,
+        interpret=True, echunk=ATTEND_CHUNK)
 
 
 def test_online_kernel_interpret_matches_xla_path():
@@ -121,11 +124,62 @@ def test_bwd_kernels_interpret_match_xla_grads():
     g = jnp.asarray(np.random.default_rng(5).normal(
         size=(n, heads, feat)).astype(np.float32))
 
-    dx, dfs, dfd = _attend_bwd_kernels(hg, x, fs, fd, m, out3, den, g,
-                                       0.2, interpret=True)
+    bits = jnp.zeros((hg.bcsr.tiles.shape[0], 1, 1), jnp.uint32)
+    dx, dfs, dfd = _attend_bwd_kernels(hg, bits, None, x, fs, fd, m,
+                                       out3, den, g, 0.2, 1.0,
+                                       interpret=True)
 
     def loss(xx, a, b):
         return jnp.sum(gat_tiled_attend(hg, xx, a, b) * g)
+
+    rdx, rdfs, rdfd = jax.grad(loss, argnums=(0, 1, 2))(x, fs, fd)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(rdx),
+                               rtol=5e-4, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(dfs), np.asarray(rdfs),
+                               rtol=5e-4, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(dfd), np.asarray(rdfd),
+                               rtol=5e-4, atol=5e-5)
+
+
+def test_bwd_kernels_interpret_dropout_matches_xla_grads():
+    """With attention dropout, the backward kernels must see the SAME
+    Bernoulli draws as the forward — pass B through the transposed
+    lattice / permuted remainder multiplier (HybridGraph alignment
+    maps). Reference: jax.grad of the XLA composition, which consumes
+    identical mask operands (drawn from the same rng folds)."""
+    from graphneuralnetwork_tpu.core.bcsr import COL_BLOCK, ROW_BLOCK
+    from graphneuralnetwork_tpu.ops.bcsr_attention import (
+        _attend_bwd_kernels)
+
+    hg, x, fs, fd = _fixture(seed=3)
+    n, heads, feat = x.shape
+    rng = jax.random.PRNGKey(11)
+    drop, kp = 0.4, 0.6
+    # same draws gat_tiled_attend makes (fold 0 = tile lattice,
+    # fold 1 = remainder keep)
+    bits = jax.random.bits(
+        jax.random.fold_in(rng, 0),
+        (hg.bcsr.tiles.shape[0], ROW_BLOCK, COL_BLOCK), jnp.uint32)
+    keep = jax.random.bernoulli(
+        jax.random.fold_in(rng, 1), kp,
+        (hg.rem.senders.shape[0], heads))
+    keep_mul = keep.astype(jnp.float32) / kp
+
+    out, den, m = _run_kernel(hg, x, fs, fd, bits=bits,
+                              keep_mul=keep_mul, keep_prob=kp)
+    den = den[:n]
+    m = jnp.where(den > 0, m[:n], 0.0)
+    out3 = out[:n].reshape(n, heads, feat)
+    g = jnp.asarray(np.random.default_rng(7).normal(
+        size=(n, heads, feat)).astype(np.float32))
+
+    dx, dfs, dfd = _attend_bwd_kernels(hg, bits, keep_mul, x, fs, fd, m,
+                                       out3, den, g, 0.2, kp,
+                                       interpret=True)
+
+    def loss(xx, a, b):
+        return jnp.sum(gat_tiled_attend(
+            hg, xx, a, b, attn_dropout=drop, dropout_rng=rng) * g)
 
     rdx, rdfs, rdfd = jax.grad(loss, argnums=(0, 1, 2))(x, fs, fd)
     np.testing.assert_allclose(np.asarray(dx), np.asarray(rdx),
