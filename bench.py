@@ -164,7 +164,6 @@ def _clustered_setup(n, e, comm, dtype="float32"):
     are unit counts (small ints — exact in bf16), and f32 tiles would
     otherwise be the kernel's single largest stream (134 MB at the
     headline shape) plus an in-jit cast pass."""
-    import numpy as np_  # noqa: F401  (kept local; numpy imported above)
     key = (n, e, comm, dtype)
     if key in _GRAPH_CACHE:
         return _GRAPH_CACHE[key]

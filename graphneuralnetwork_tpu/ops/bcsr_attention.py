@@ -42,9 +42,14 @@ streams are decorrelated by wrapping multiplication with distinct odd
 constants (a bijection on uint32, so each stream stays uniform).
 
 Backward: custom VJP.  ``m`` is a stop-gradient (softmax shift
-invariance), tiles are constants; gradients w.r.t. x / f_src / f_dst run
-through the chunk-scanned XLA formulation under jax.checkpoint, which
-bounds residual memory to one tile chunk.
+invariance), tiles are constants.  On TPU both directions are Pallas
+kernels: the forward is the one-kernel online-softmax attend
+(ops/pallas/attend_online_kernel.py) and the gradient is two passes
+over the forward and TRANSPOSE tile layouts
+(ops/pallas/attend_bwd_kernel.py) with dropout masks aligned by
+build-time maps; off-TPU, gradients run through the chunk-scanned XLA
+formulation under jax.checkpoint, which bounds residual memory to one
+tile chunk.
 """
 
 from __future__ import annotations

@@ -45,7 +45,6 @@ from jax.experimental.pallas import tpu as pltpu
 from ...core.bcsr import COL_BLOCK, ROW_BLOCK
 from .attend_online_kernel import _head_keep
 
-NEG = -1e30
 _HI = jax.lax.Precision.HIGHEST
 
 
