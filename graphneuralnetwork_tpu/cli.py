@@ -116,12 +116,16 @@ def main(argv=None):
         cdtype = jnp.bfloat16 if args.dtype == "bfloat16" else None
 
         layout = args.layout
+        # the auto chooser applies the attention economics for GAT (the
+        # COO attention path is far costlier than COO SpMM, so hybrid
+        # pays off at much lower tile fill — core/layout.py)
+        objective = "attention" if name == "gat" else "spmm"
         if args.dataset in ("cora", "citeseer"):   # named synthetic preset
             data = load_cora(name=args.dataset, seed=args.seed,
-                             layout=layout)
+                             layout=layout, layout_objective=objective)
         else:
             data = load_cora(root=args.dataset, seed=args.seed,
-                             layout=layout)
+                             layout=layout, layout_objective=objective)
         # "auto" is resolved inside the loader; read the decision off the
         # returned graph container
         layout = "hybrid" if hasattr(data.graph, "bcsr") else "coo"

@@ -47,6 +47,15 @@ from .reorder import locality_order, relabel_edges
 #: worth building (see module docstring for the measured separation).
 MAX_BYTE_RATIO = 0.75
 
+#: Attention objective: the COO attention path is far worse than COO
+#: SpMM (it materialises [E, H·F] per-edge messages and pays per-edge
+#: softmax), so hybrid pays off at much lower tile fill — measured: the
+#: 65k homophily synthetic (tiled fraction 0.51, SpMM byte ratio 0.89 →
+#: "coo" under the SpMM rule) trains full GAT 2.2× faster on hybrid
+#: with the one-kernel attend + kernel backward. Random graphs (~0
+#: tiled) still stay COO.
+MIN_ATTENTION_TILED_FRACTION = 0.25
+
 #: Nominal feature width for the traffic model — the framework's hidden
 #: sizes cluster around 128 (GCN hidden, GAT heads*feat); the decision
 #: is threshold-robust across 32..256 (the measured gap is wide).
@@ -98,10 +107,16 @@ def choose_layout(
     *,
     min_edges_per_tile: int = 192,
     max_byte_ratio: float = MAX_BYTE_RATIO,
+    objective: str = "spmm",
     verbose: bool = False,
     tag: str = "graph",
 ) -> Tuple[str, float, np.ndarray]:
     """Decide ``"hybrid"`` vs ``"coo"`` for this edge set.
+
+    ``objective="spmm"`` (static-weight aggregation, e.g. GCN) decides
+    on the modeled traffic ratio; ``objective="attention"`` (per-step
+    softmax scores, e.g. GAT) decides on tiled-edge fraction with a
+    much lower bar — see MIN_ATTENTION_TILED_FRACTION.
 
     Returns ``(layout, byte_ratio, perm)``; ``perm`` is the clustering
     permutation the probe computed (reuse it for the hybrid build).
@@ -110,10 +125,18 @@ def choose_layout(
     frac, ratio, perm = probe_layout(
         senders, receivers, n_nodes,
         min_edges_per_tile=min_edges_per_tile)
-    layout = "hybrid" if ratio <= max_byte_ratio else "coo"
+    if objective == "attention":
+        layout = ("hybrid" if frac >= MIN_ATTENTION_TILED_FRACTION
+                  else "coo")
+        crit = (f"tiled fraction {frac:.3f} "
+                f"{'>=' if layout == 'hybrid' else '<'} "
+                f"{MIN_ATTENTION_TILED_FRACTION:g} (attention)")
+    else:
+        layout = "hybrid" if ratio <= max_byte_ratio else "coo"
+        crit = (f"modeled hybrid/COO traffic {ratio:.3f} "
+                f"{'<=' if layout == 'hybrid' else '>'} "
+                f"{max_byte_ratio:g}")
     if verbose:
         print(f"layout auto [{tag}]: tiled-edge fraction {frac:.3f}, "
-              f"modeled hybrid/COO traffic {ratio:.3f} "
-              f"{'<=' if layout == 'hybrid' else '>'} "
-              f"{max_byte_ratio:g} -> {layout}")
+              f"{crit} -> {layout}")
     return layout, ratio, perm

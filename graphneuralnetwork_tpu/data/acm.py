@@ -209,8 +209,9 @@ def _assemble_han_data(hg, feats, labels, seed: int, layout: str,
             parts_r.append(d_m[keep])
         layout, _, probe_perm = choose_layout(
             np.concatenate(parts_s), np.concatenate(parts_r), n,
-            min_edges_per_tile=min_edges_per_tile, verbose=True,
-            tag="han-metapaths")
+            min_edges_per_tile=min_edges_per_tile,
+            objective="attention",       # HAN's node attention is GAT
+            verbose=True, tag="han-metapaths")
 
     if layout == "hybrid":
         from ..core.reorder import invert_permutation

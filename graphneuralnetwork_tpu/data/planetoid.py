@@ -103,7 +103,8 @@ _SHAPES = {
 
 def load_cora(root: str | None = None, name: str = "cora",
               seed: int = 0,
-              layout: str = "coo") -> NodeClassificationData:
+              layout: str = "coo",
+              layout_objective: str = "spmm") -> NodeClassificationData:
     """Load Cora/Citeseer (or compatible .content/.cites dataset), else
     synthesise at the named dataset's exact shape.
 
@@ -139,8 +140,9 @@ def load_cora(root: str | None = None, name: str = "cora",
         # probe the exact edge set the hybrid build would tile
         s_p, r_p = symmetrize(s, r)
         s_p, r_p = add_self_loops(s_p, r_p, n)
-        layout, _, probe_perm = choose_layout(s_p, r_p, n,
-                                              verbose=True, tag=name)
+        layout, _, probe_perm = choose_layout(
+            s_p, r_p, n, objective=layout_objective, verbose=True,
+            tag=name)
 
     if layout == "hybrid":
         from ..core.graph import gcn_graph_hybrid
