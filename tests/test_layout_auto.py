@@ -103,6 +103,15 @@ def test_load_cora_auto_resolves_to_coo():
     assert isinstance(data.graph, Graph)  # homophily synthetic -> COO
 
 
+def test_load_cora_auto_attention_objective_tiles():
+    from graphneuralnetwork_tpu.core.bcsr import HybridGraph
+    from graphneuralnetwork_tpu.data import load_cora
+
+    data = load_cora(seed=0, layout="auto",
+                     layout_objective="attention")
+    assert isinstance(data.graph, HybridGraph)  # GAT economics tile it
+
+
 def test_load_acm_han_auto_resolves_to_hybrid():
     from graphneuralnetwork_tpu.core.bcsr import HybridGraph
     from graphneuralnetwork_tpu.data import load_acm_han

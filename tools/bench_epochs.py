@@ -94,8 +94,8 @@ def bench_cli_delta(argv_base, e1: int, e2: int, unit="epochs"):
 #: HAN 20, GTN 10, sage epoch = full minibatch pass, deepwalk epoch =
 #: one pass over the skip-gram corpus.
 DELTA_SPECS = {
-    "graphsage": (["--model", "graphsage"], 2, 6),
-    "graphsage_device": (["--model", "graphsage",
+    "graphsage": (["--model", "graphsage", "--layout", "coo"], 2, 6),
+    "graphsage_device": (["--model", "graphsage", "--layout", "coo",
                           "--set", "device_sampling=true"], 2, 6),
     "graphsage_hybrid": (["--model", "graphsage", "--layout", "hybrid",
                           "--dtype", "bfloat16"], 100, 300),
@@ -107,10 +107,14 @@ DELTA_SPECS = {
 #: steady_epochs_per_s (post-compile chunk-loop timing) — the delta
 #: method is too noisy for their sub-ms epochs through the tunnel.
 DIRECT_SPECS = {
-    "han": (["--model", "han", "--dtype", "bfloat16"], 400),
+    # --layout coo pinned: the CLI default is now auto (which tiles
+    # the blocky HAN metapaths), so baselines must ask for COO
+    "han": (["--model", "han", "--layout", "coo",
+             "--dtype", "bfloat16"], 400),
     "han_hybrid": (["--model", "han", "--layout", "hybrid",
                     "--dtype", "bfloat16"], 400),
-    "han_4k": (["--model", "han", "--dtype", "bfloat16",
+    "han_4k": (["--model", "han", "--layout", "coo",
+                "--dtype", "bfloat16",
                 "--set", "n_papers=4096"], 200),
     "han_4k_hybrid": (["--model", "han", "--layout", "hybrid",
                        "--dtype", "bfloat16",
