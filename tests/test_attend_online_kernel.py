@@ -17,7 +17,8 @@ from graphneuralnetwork_tpu.ops.pallas.attend_online_kernel import (
     attend_online_pallas)
 
 
-def _fixture(seed=0, n=512, e=8192, comm=64, heads=4, feat=32):
+def _fixture(seed=0, n=512, e=8192, comm=64, heads=4, feat=32,
+             symmetric=False):
     rng = np.random.default_rng(seed)
     s = rng.integers(0, n, e).astype(np.int64)
     intra = rng.random(e) < 0.9
@@ -26,8 +27,12 @@ def _fixture(seed=0, n=512, e=8192, comm=64, heads=4, feat=32):
                  np.minimum(base + rng.integers(0, comm, e), n - 1),
                  rng.integers(0, n, e))
     keep = s != r
-    hg = build_hybrid(s[keep].astype(np.int32), r[keep].astype(np.int32),
-                      n, min_edges_per_tile=48)
+    s, r = s[keep], r[keep]
+    if symmetric:
+        from graphneuralnetwork_tpu.core.graph import symmetrize
+        s, r = symmetrize(s, r)
+    hg = build_hybrid(s.astype(np.int32), r.astype(np.int32),
+                      n, min_edges_per_tile=48, symmetric=symmetric)
     x = jnp.asarray(rng.normal(size=(n, heads, feat)).astype(np.float32))
     fs = jnp.asarray(rng.normal(size=(n, heads)).astype(np.float32))
     fd = jnp.asarray(rng.normal(size=(n, heads)).astype(np.float32))
@@ -131,6 +136,52 @@ def test_bwd_kernels_interpret_match_xla_grads():
 
     def loss(xx, a, b):
         return jnp.sum(gat_tiled_attend(hg, xx, a, b) * g)
+
+    rdx, rdfs, rdfd = jax.grad(loss, argnums=(0, 1, 2))(x, fs, fd)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(rdx),
+                               rtol=5e-4, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(dfs), np.asarray(rdfs),
+                               rtol=5e-4, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(dfd), np.asarray(rdfd),
+                               rtol=5e-4, atol=5e-5)
+
+
+def test_bwd_kernels_interpret_symmetric_tiles_with_dropout():
+    """The CLI GAT path builds symmetric hybrids (bcsr_t IS bcsr): the
+    transpose pass then walks the SAME tiles reinterpreted — by edge-set
+    symmetry w(a,b)[i,j] == w(b,a)[j,i], so directed-edge coverage and
+    the transposed dropout lattice stay exact. Verified against
+    jax.grad of the XLA composition with identical masks."""
+    from graphneuralnetwork_tpu.core.bcsr import COL_BLOCK, ROW_BLOCK
+    from graphneuralnetwork_tpu.ops.bcsr_attention import (
+        _attend_bwd_kernels)
+
+    hg, x, fs, fd = _fixture(seed=4, symmetric=True)
+    n, heads, feat = x.shape
+    rng = jax.random.PRNGKey(13)
+    kp = 0.7
+    bits = jax.random.bits(
+        jax.random.fold_in(rng, 0),
+        (hg.bcsr.tiles.shape[0], ROW_BLOCK, COL_BLOCK), jnp.uint32)
+    keep = jax.random.bernoulli(
+        jax.random.fold_in(rng, 1), kp,
+        (hg.rem.senders.shape[0], heads))
+    keep_mul = keep.astype(jnp.float32) / kp
+
+    out, den, m = _run_kernel(hg, x, fs, fd, bits=bits,
+                              keep_mul=keep_mul, keep_prob=kp)
+    den = den[:n]
+    m = jnp.where(den > 0, m[:n], 0.0)
+    out3 = out[:n].reshape(n, heads, feat)
+    g = jnp.asarray(np.random.default_rng(8).normal(
+        size=(n, heads, feat)).astype(np.float32))
+    dx, dfs, dfd = _attend_bwd_kernels(hg, bits, keep_mul, x, fs, fd, m,
+                                       out3, den, g, 0.2, kp,
+                                       interpret=True)
+
+    def loss(xx, a, b):
+        return jnp.sum(gat_tiled_attend(
+            hg, xx, a, b, attn_dropout=1.0 - kp, dropout_rng=rng) * g)
 
     rdx, rdfs, rdfd = jax.grad(loss, argnums=(0, 1, 2))(x, fs, fd)
     np.testing.assert_allclose(np.asarray(dx), np.asarray(rdx),
