@@ -339,7 +339,9 @@ def _bench_gat_attend(n=131072, e=2_097_152, f=128, heads=8, comm=256,
     e_real = len(s)
     perm = _memo_locality_order(s, r, n)
     s2, r2 = relabel_edges(perm, s, r)
-    hg = build_hybrid(s2, r2, n)          # unit weights — GAT semantics
+    # unit weights — GAT semantics; bf16 tile store is exact for the
+    # binary adjacency and halves the kernels' tile stream
+    hg = build_hybrid(s2, r2, n, dtype=jnp.bfloat16)
     gr = g.build_graph(s2, r2, n)
 
     rng = np.random.default_rng(1)

@@ -140,10 +140,14 @@ def main(argv=None):
             from .core.graph import add_self_loops, symmetrize
             s2, r2 = symmetrize(data.raw_senders, data.raw_receivers)
             s2, r2 = add_self_loops(s2, r2, int(data.features.shape[0]))
+            # bf16 tiles when computing in bf16: GAT's adjacency is
+            # binary, so the counts are exact and the attend kernels'
+            # tile stream halves
             data = _dc.replace(
-                data, graph=build_hybrid(s2, r2,
-                                         int(data.features.shape[0]),
-                                         symmetric=True))
+                data, graph=build_hybrid(
+                    s2, r2, int(data.features.shape[0]), symmetric=True,
+                    dtype=(jnp.bfloat16 if args.dtype == "bfloat16"
+                           else jnp.float32)))
         from .train.schedule import make_optimizer
         opt_name = args.optimizer or "adamw"
         if name == "gcn":

@@ -122,7 +122,7 @@ def _bwd_a_kernel(toff_ref, tcnt_ref, col_ref, coff_ref, ccnt_ref,
     # ---- dense tile ----
     @pl.when(jnp.logical_and(j >= mc, j - mc < tcnt_ref[i]))
     def _():
-        w = tile_ref[0]                              # [RB, CB]
+        w = tile_ref[0].astype(jnp.float32)          # [RB, CB]
         xdt = xt_ref.dtype
         for h in range(heads):
             fd_col = fdm3_ref[:, h:h + 1]            # [RB, 1]
@@ -314,7 +314,7 @@ def _bwd_b_kernel(toff_ref, tcnt_ref, col_ref, coff_ref, ccnt_ref,
     # ---- transpose dense tile ----
     @pl.when(jnp.logical_and(j >= mc, j - mc < tcnt_ref[i]))
     def _():
-        w = tile_ref[0]                              # [RB, CB] (Aᵀ)
+        w = tile_ref[0].astype(jnp.float32)          # [RB, CB] (Aᵀ)
         xdt = gnc_ref.dtype
         for h in range(heads):
             fs_col = fsr_ref[:, h:h + 1]             # [RB, 1] sender fs

@@ -149,7 +149,10 @@ def _tile_slot(tile_ref, bits_ref, xt_ref, fsp_ref, fdp_ref, num_ref,
                den_ref, m_ref, *, heads, feat, slope, keep_prob,
                has_bits):
     """Process one dense tile of the row block's span."""
-    w = tile_ref[0]                                  # [RB, CB]
+    # f32 view of the tile: Mosaic rejects the i1-mask relayout that a
+    # bf16-sourced compare produces, and the elementwise softmax math
+    # is f32 anyway (the MXU dot re-casts to x's dtype below)
+    w = tile_ref[0].astype(jnp.float32)              # [RB, CB]
     nz = w != 0
     b_cols = []
     for h in range(heads):

@@ -239,3 +239,22 @@ def test_bwd_kernels_interpret_dropout_matches_xla_grads():
                                rtol=5e-4, atol=5e-5)
     np.testing.assert_allclose(np.asarray(dfd), np.asarray(rdfd),
                                rtol=5e-4, atol=5e-5)
+
+
+def test_online_kernel_interpret_bf16_tiles_binary_adjacency():
+    """bf16 tile stores are exact for binary adjacencies (unit counts),
+    so the kernel path with bf16 tiles must match the f32-tile XLA
+    composition (the GAT CLI builds bf16 tiles under --dtype bfloat16)."""
+    import dataclasses as _dc
+
+    hg, x, fs, fd = _fixture(seed=5)
+    n, heads, feat = x.shape
+    hg_b = _dc.replace(
+        hg, bcsr=_dc.replace(hg.bcsr,
+                             tiles=hg.bcsr.tiles.astype(jnp.bfloat16)),
+        bcsr_t=_dc.replace(hg.bcsr_t,
+                           tiles=hg.bcsr_t.tiles.astype(jnp.bfloat16)))
+    out, den, m = _run_kernel(hg_b, x, fs, fd)
+    out = np.asarray(out[:n]).reshape(n, heads, feat)
+    ref = np.asarray(gat_tiled_attend(hg, x, fs, fd))
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
